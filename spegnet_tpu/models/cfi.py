@@ -1,0 +1,171 @@
+"""Contextual Feature Integration (CFI): attention fusion + efficient ASPP.
+
+TPU-native re-design of the reference CFI stage
+(reference: models/feature_integration.py:90-416).  Everything is NHWC so the
+1x1 convs lower to plain MXU matmuls and the depthwise dilated convs hit the
+vector unit with lane-major channels.
+
+Behavioral parity notes (verified against the reference modules in
+tests/test_cfi_ped.py):
+
+* SE reduction floor: hidden = max(C // reduction, 32)
+  (reference: feature_integration.py:118).
+* The e-ASPP fusion conv is a grouped 1x1 with groups == reduced_channels over
+  the *branch-major* concatenation, i.e. group i consumes 5 consecutive
+  channels [5i, 5i+5) of the concat — PyTorch grouped-conv semantics, not
+  "channel i of each branch" (reference: feature_integration.py:349-360).
+  XLA's ``feature_group_count`` partitions channels identically.
+* All convs are bias-free + BatchNorm + ReLU, BN eps 1e-5 / momentum 0.1
+  (torch defaults).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from spegnet_tpu.ops.resize import resize_bilinear
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch defaults, applied over N,H,W (channels-last).
+
+    Under pjit with a batch-sharded input the mean/var reductions are global
+    (XLA inserts the cross-chip collectives), which is the TPU-native
+    equivalent of synchronized BN.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+class ConvBNReLU(nn.Module):
+    """Conv2d(bias=False) + BN + ReLU, NHWC."""
+
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.dilation * (self.kernel // 2)
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            padding=[(pad, pad), (pad, pad)],
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+class SqueezeExcitation(nn.Module):
+    """SE channel attention: GAP -> FC(C->max(C//r,32)) -> ReLU -> FC -> sigmoid.
+
+    Reference: feature_integration.py:90-151.
+    """
+
+    reduction: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        hidden = max(c // self.reduction, 32)
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)  # [B, C]
+        y = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="fc1")(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class AdaptiveAttentionFusion(nn.Module):
+    """Upsample stages 3/4 to stage-2 resolution, concat, 1x1 reduce, SE.
+
+    Reference: feature_integration.py:153-246.  Inputs are NHWC feature maps
+    [stage2, stage3, stage4]; output [B, H2, W2, out_channels].
+    """
+
+    out_channels: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = False):
+        target_hw = features[0].shape[1:3]
+        aligned = [
+            f if f.shape[1:3] == target_hw else resize_bilinear(f, target_hw)
+            for f in features
+        ]
+        x = jnp.concatenate(aligned, axis=-1)
+        x = nn.Conv(
+            self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv1x1"
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
+        )(x)
+        x = nn.relu(x)
+        return SqueezeExcitation(dtype=self.dtype, name="se_block")(x)
+
+
+class EfficientASPP(nn.Module):
+    """Memory-efficient ASPP: reduce -> {4 depthwise dilated 3x3 + global} ->
+    grouped 1x1 fuse -> expand.
+
+    Reference: feature_integration.py:248-416.
+    """
+
+    in_channels: int = 512
+    out_channels: int = 256
+    reduction_factor: int = 4
+    dilation_rates: Sequence[int] = (1, 6, 12, 18)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        rc = self.in_channels // self.reduction_factor
+        size = x.shape[1:3]
+
+        x = ConvBNReLU(rc, kernel=1, dtype=self.dtype, name="reduce")(x, train)
+
+        branches = []
+        for i, rate in enumerate(self.dilation_rates):
+            branches.append(
+                ConvBNReLU(
+                    rc, kernel=3, dilation=rate, groups=rc,
+                    dtype=self.dtype, name=f"branch{i}",
+                )(x, train)
+            )
+        # Global context branch: GAP -> 1x1 conv -> BN -> ReLU -> broadcast.
+        g = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(self.dtype)
+        g = ConvBNReLU(rc, kernel=1, dtype=self.dtype, name="global_branch")(g, train)
+        # Bilinear upsample of a 1x1 map == broadcast (parity with
+        # F.interpolate(global, size) on a 1x1 input).
+        g = jnp.broadcast_to(g, (g.shape[0], size[0], size[1], rc))
+        branches.append(g)
+
+        x = jnp.concatenate(branches, axis=-1)  # [B, H, W, rc * 5], branch-major
+        x = ConvBNReLU(rc, kernel=1, groups=rc, dtype=self.dtype, name="fusion")(x, train)
+        x = ConvBNReLU(self.out_channels, kernel=1, dtype=self.dtype, name="expand")(x, train)
+        return x

@@ -1,0 +1,267 @@
+"""Hiera hierarchical vision transformer (SAM2 image-encoder trunk) in JAX.
+
+The reference delegates its encoder to the external ``sam2`` package's Hiera
+trunk (reference: models/feature_encoding.py:107,156-159) — PyTorch modules
+running cuDNN kernels.  This is a from-scratch, TPU-first reimplementation of
+that public architecture (Hiera, Ryali et al. ICML 2023; SAM2, Meta 2024):
+
+* channels-last [B, H, W, C] end to end — patch embed lowers to one MXU conv,
+  every Linear is a lane-major matmul;
+* windowed attention is expressed as a batched dense attention over
+  [B * num_windows, window^2, C] blocks (no attention matrix ever hits HBM at
+  stage 1/2 once the fused Pallas kernel is enabled — see
+  spegnet_tpu.ops.attention);
+* static shapes everywhere: window padding amounts are trace-time constants
+  because the encoder contract requires H, W divisible by 32
+  (reference: feature_encoding.py:232-233).
+
+Architecture recap (Hiera-Large):
+  patch embed 7x7/s4 -> 4 stages of MultiScaleBlocks, depths [2, 6, 36, 4],
+  channels [144, 288, 576, 1152], heads [2, 4, 8, 16]; stage transitions do
+  2x2 max-pool Q-pooling with a channel-doubling skip projection; window sizes
+  per stage [8, 4, 16, 8] with blocks {23, 33, 43} using global attention;
+  absolute position embedding = bicubic-resized 7x7 background embed + tiled
+  8x8 window embed.
+
+Feature pyramid out: [H/4 x C1, H/8 x C2, H/16 x C3, H/32 x C4]
+(reference: models/feature_encoding.py:209-236).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from spegnet_tpu.ops.attention import scaled_dot_product_attention
+from spegnet_tpu.ops.resize import resize_bicubic
+
+
+@dataclasses.dataclass(frozen=True)
+class HieraConfig:
+    embed_dim: int
+    num_heads: int
+    stages: Tuple[int, ...]
+    global_att_blocks: Tuple[int, ...]
+    window_pos_embed_bkg_spatial_size: Tuple[int, int]
+    window_spec: Tuple[int, ...]
+    dim_mul: float = 2.0
+    head_mul: float = 2.0
+    q_stride: Tuple[int, int] = (2, 2)
+    mlp_ratio: float = 4.0
+
+    @property
+    def depth(self) -> int:
+        return sum(self.stages)
+
+    @property
+    def stage_ends(self) -> Tuple[int, ...]:
+        return tuple(sum(self.stages[: i + 1]) - 1 for i in range(len(self.stages)))
+
+    @property
+    def q_pool_blocks(self) -> Tuple[int, ...]:
+        # First block of stages 2..4 pools (q_pool = 3 stage transitions).
+        return tuple(e + 1 for e in self.stage_ends[:3])
+
+    @property
+    def channels(self) -> Tuple[int, ...]:
+        return tuple(int(self.embed_dim * self.dim_mul**i) for i in range(len(self.stages)))
+
+
+# Variant table.  Channel widths follow the reference encoder's table
+# (reference: models/feature_encoding.py:141-148); stage/window/global-block
+# hyperparameters follow the public SAM2.1 Hiera configs.  'test' is a
+# framework-internal micro variant for CI / multi-chip dry runs.
+HIERA_VARIANTS = {
+    "tiny": HieraConfig(96, 1, (1, 2, 7, 2), (5, 7, 9), (7, 7), (8, 4, 14, 7)),
+    "small": HieraConfig(96, 1, (1, 2, 11, 2), (7, 10, 13), (7, 7), (8, 4, 14, 7)),
+    "base": HieraConfig(96, 1, (2, 3, 16, 3), (12, 16, 20), (14, 14), (8, 4, 14, 7)),
+    "base_plus": HieraConfig(112, 2, (2, 3, 16, 3), (12, 16, 20), (14, 14), (8, 4, 14, 7)),
+    "large": HieraConfig(144, 2, (2, 6, 36, 4), (23, 33, 43), (7, 7), (8, 4, 16, 8)),
+    "huge": HieraConfig(256, 4, (2, 6, 36, 4), (23, 33, 43), (7, 7), (8, 4, 16, 8)),
+    "test": HieraConfig(16, 1, (1, 1, 1, 1), (2,), (7, 7), (2, 2, 2, 2)),
+}
+
+
+def _window_partition(x: jnp.ndarray, ws: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """[B, H, W, C] -> [B * nWh * nWw, ws, ws, C], zero-padding H/W to ws."""
+    b, h, w, c = x.shape
+    pad_h = (ws - h % ws) % ws
+    pad_w = (ws - w % ws) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c)
+    return x, (hp, wp)
+
+
+def _window_unpartition(
+    x: jnp.ndarray, ws: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jnp.ndarray:
+    hp, wp = pad_hw
+    h, w = hw
+    b = x.shape[0] // ((hp // ws) * (wp // ws))
+    x = x.reshape(b, hp // ws, wp // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w, :]
+
+
+def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class MultiScaleAttention(nn.Module):
+    """Attention with optional 2x2 max-pool Q-pooling (stage transitions)."""
+
+    dim_out: int
+    num_heads: int
+    q_pool: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        head_dim = self.dim_out // self.num_heads
+        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.q_pool:
+            q = _max_pool_2x2(q.reshape(b, h, w, -1))
+            h, w = q.shape[1:3]
+            q = q.reshape(b, h * w, self.num_heads, head_dim)
+        o = scaled_dot_product_attention(q, k, v)  # [B, L_q, heads, head_dim]
+        o = o.reshape(b, h, w, self.dim_out)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
+
+
+class MultiScaleBlock(nn.Module):
+    """Hiera block: LN -> (window) attention [+ Q-pool] -> residual -> LN -> MLP."""
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    q_stride: bool = False
+    window_size: int = 0
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+
+        if self.dim != self.dim_out:
+            proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+            shortcut = _max_pool_2x2(proj) if self.q_stride else proj
+
+        ws = self.window_size
+        hw = x.shape[1:3]
+        pad_hw = hw
+        if ws > 0:
+            x, pad_hw = _window_partition(x, ws)
+
+        x = MultiScaleAttention(
+            dim_out=self.dim_out,
+            num_heads=self.num_heads,
+            q_pool=self.q_stride,
+            dtype=self.dtype,
+            name="attn",
+        )(x)
+
+        if self.q_stride:
+            # Q-pooling halved the spatial extent inside each window.
+            ws = ws // 2
+            hw = shortcut.shape[1:3]
+            pad_h = (ws - hw[0] % ws) % ws if ws > 0 else 0
+            pad_w = (ws - hw[1] % ws) % ws if ws > 0 else 0
+            pad_hw = (hw[0] + pad_h, hw[1] + pad_w)
+
+        if self.window_size > 0:
+            x = _window_unpartition(x, ws, pad_hw, hw)
+
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        hidden = int(self.dim_out * self.mlp_ratio)
+        y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+class Hiera(nn.Module):
+    """The full trunk.  Input NHWC [B, H, W, 3], H and W divisible by 32.
+
+    Returns the 4-stage feature pyramid, channels-last.
+    """
+
+    variant: str = "large"
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def config(self) -> HieraConfig:
+        return HIERA_VARIANTS[self.variant]
+
+    @property
+    def channels(self) -> Tuple[int, ...]:
+        return self.config.channels
+
+    def _pos_embed(self, hw: Tuple[int, int]) -> jnp.ndarray:
+        cfg = self.config
+        h, w = hw
+        bkg = self.param(
+            "pos_embed",
+            nn.initializers.zeros,
+            (*cfg.window_pos_embed_bkg_spatial_size, cfg.embed_dim),
+        )
+        win = self.param(
+            "pos_embed_window",
+            nn.initializers.zeros,
+            (cfg.window_spec[0], cfg.window_spec[0], cfg.embed_dim),
+        )
+        pe = resize_bicubic(bkg, (h, w))
+        tiles = (h // win.shape[0], w // win.shape[1], 1)
+        pe = pe + jnp.tile(win, tiles)
+        return pe.astype(self.dtype)
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        if x.shape[1] % 32 or x.shape[2] % 32:
+            raise ValueError("Input spatial dims must be divisible by 32")
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            cfg.embed_dim, (7, 7), strides=(4, 4), padding=[(3, 3), (3, 3)],
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        x = x + self._pos_embed(x.shape[1:3])
+
+        embed_dim, num_heads = cfg.embed_dim, cfg.num_heads
+        cur_stage = 1
+        outputs = []
+        for i in range(cfg.depth):
+            dim_out = embed_dim
+            window_size = cfg.window_spec[cur_stage - 1]
+            if i in cfg.global_att_blocks:
+                window_size = 0
+            if i - 1 in cfg.stage_ends:
+                dim_out = int(embed_dim * cfg.dim_mul)
+                num_heads = int(num_heads * cfg.head_mul)
+                cur_stage += 1
+            x = MultiScaleBlock(
+                dim=embed_dim,
+                dim_out=dim_out,
+                num_heads=num_heads,
+                q_stride=i in cfg.q_pool_blocks,
+                window_size=window_size,
+                mlp_ratio=cfg.mlp_ratio,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x)
+            embed_dim = dim_out
+            if i in cfg.stage_ends:
+                outputs.append(x)
+        return outputs
