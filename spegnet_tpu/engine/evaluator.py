@@ -1,0 +1,245 @@
+"""Evaluation engine: batched on-device inference + metrics, quality-bucketed
+result storage.
+
+TPU redesign of the reference evaluator (reference: engine/evaluator.py):
+the per-sample Python loop (resize -> sigmoid -> CPU pool metrics) becomes one
+jitted device step per batch — forward, per-sample dynamic resize to each GT's
+original size, uint8 quantization and all five metrics compute on-chip; only
+PNG writing and JSON bookkeeping stay on the host.
+
+Observable surface parity:
+* quality buckets good/medium/bad at 0.8/0.6 on BOTH S_alpha and F_beta^w
+  (reference: evaluator.py:133-151);
+* directory tree {dataset}/visualizations/{cat}/{segmentation,edges}/... and
+  {dataset}/metrics/{cat}/{name}_metrics.json;
+* evaluation_summary.json with {metrics, timing, categories}.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spegnet_tpu.data.dataset import CODDataset
+from spegnet_tpu.data.pipeline import EvalBatch, ImageProcessor, eval_loader
+from spegnet_tpu.losses import resize_logits_to_canvas
+from spegnet_tpu.metrics.jax_metrics import compute_batch_metrics, quantize_predictions
+from spegnet_tpu.models.spegnet import SPEGNet, SPEGNetConfig
+from spegnet_tpu.engine.model_loader import load_model_variables
+
+logger = logging.getLogger(__name__)
+
+METRIC_KEYS = ("s_alpha", "weighted_f", "mae", "e_phi", "mean_f")
+_DEVICE_TO_API = {"sm": "s_alpha", "wfm": "weighted_f", "mae": "mae",
+                  "em": "e_phi", "fm": "mean_f"}
+
+
+class ResultManager:
+    """Quality-bucketed storage of per-sample results."""
+
+    def __init__(self, dir_manager):
+        self.run_dirs = dir_manager.run_dirs
+        self.dataset_dirs: Dict[str, Dict[str, Path]] = {}
+
+    def setup_dataset_directories(self, dataset_name: str):
+        root = self.run_dirs.root / dataset_name
+        viz = root / "visualizations"
+        metrics = root / "metrics"
+        for cat in ("good", "medium", "bad"):
+            (viz / cat / "segmentation").mkdir(parents=True, exist_ok=True)
+            (viz / cat / "edges").mkdir(parents=True, exist_ok=True)
+            (metrics / cat).mkdir(parents=True, exist_ok=True)
+        self.dataset_dirs[dataset_name] = {
+            "root": root, "visualizations": viz, "metrics": metrics,
+        }
+
+    @staticmethod
+    def determine_quality_category(metrics: Dict[str, float]) -> str:
+        s, f = metrics["s_alpha"], metrics["weighted_f"]
+        if s >= 0.8 and f >= 0.8:
+            return "good"
+        if s >= 0.6 and f >= 0.6:
+            return "medium"
+        return "bad"
+
+    def save_prediction(
+        self, dataset_name: str, filename: str, metrics: Dict[str, float],
+        seg_pred: np.ndarray, edge_pred: np.ndarray,
+        stage_preds, original_image: Optional[np.ndarray],
+    ) -> str:
+        from spegnet_tpu.utils.visualization import ResultVisualizer
+
+        category = self.determine_quality_category(metrics)
+        viz = self.dataset_dirs[dataset_name]["visualizations"] / category
+        try:
+            seg_vis = ResultVisualizer(viz / "segmentation")
+            seg_vis.save_all_visualizations(filename, seg_pred, original_image, stage_preds)
+            edge_vis = ResultVisualizer(viz / "edges")
+            edge_vis.save_all_visualizations(filename, edge_pred, original_image)
+            metrics_file = (
+                self.dataset_dirs[dataset_name]["metrics"] / category
+                / f"{filename}_metrics.json"
+            )
+            with open(metrics_file, "w") as f:
+                json.dump(metrics, f, indent=4)
+        except Exception as e:  # per-image failure isolation
+            logger.error(f"Failed to save prediction {filename}: {e}")
+        return category
+
+    def get_category_summary(self, dataset_name: str, counts: Dict[str, int]) -> Dict:
+        return {"counts": dict(counts), "total": sum(counts.values())}
+
+
+class Evaluator:
+    def __init__(self, model_path: str, dir_manager, model_config: Dict,
+                 batch_size: int, save_visualizations: bool = True,
+                 canvas_buckets=(512, 640, 768, 896, 1024, 1280, 1536, 2048)):
+        self.model_config = model_config
+        self.batch_size = batch_size
+        self.save_visualizations = save_visualizations
+        self.buckets = tuple(canvas_buckets)
+
+        self.model = SPEGNet(SPEGNetConfig.from_dict(model_config))
+        self.variables, _ = load_model_variables(model_path)
+        logger.info(f"Model loaded from: {model_path}")
+
+        img_cfg = model_config.get("image_processing", {})
+        self.target_size = img_cfg.get("target_size", 512)
+        self.mean = np.asarray(img_cfg.get("normalize_mean", (0.485, 0.456, 0.406)), np.float32)
+        self.std = np.asarray(img_cfg.get("normalize_std", (0.229, 0.224, 0.225)), np.float32)
+        self.processor = ImageProcessor(self.target_size, tuple(self.mean), tuple(self.std))
+
+        self.result_manager = ResultManager(dir_manager)
+        self.timing_stats = {"inference_times": [], "processing_times": [], "total_time": 0}
+        self._eval_step = jax.jit(self._make_eval_step())
+        self._warmup()
+
+    def _make_eval_step(self):
+        model, variables = self.model, None  # variables passed per call
+
+        def step(variables, images, masks, mask_hw, dst, nearest_idx):
+            out = model.apply(variables, images)
+            canvas = masks.shape[1:3]
+            final = out["predictions"][-1].astype(jnp.float32)
+            pred_c, valid = resize_logits_to_canvas(final, mask_hw, canvas)
+            seg_metrics = compute_batch_metrics(
+                quantize_predictions(pred_c), masks, valid, mask_hw, dst, nearest_idx
+            )
+            edge_c, _ = resize_logits_to_canvas(
+                out["edge"].astype(jnp.float32), mask_hw, canvas
+            )
+            stage_preds = [jax.nn.sigmoid(p.astype(jnp.float32))[..., 0]
+                           for p in out["predictions"]]
+            return (
+                seg_metrics,
+                jax.nn.sigmoid(pred_c),
+                jax.nn.sigmoid(edge_c),
+                stage_preds,
+            )
+
+        return step
+
+    def _warmup(self):
+        """3 warm-up passes (reference: evaluator.py:355-363) — here they also
+        pay the XLA compile for the standard 512-canvas shape."""
+        s = self.target_size
+        dummy_img = jnp.zeros((self.batch_size, s, s, 3), jnp.float32)
+        dummy_mask = jnp.zeros((self.batch_size, s, s), jnp.float32)
+        hw = jnp.full((self.batch_size, 2), s, jnp.int32)
+        dst = jnp.zeros((self.batch_size, s, s), jnp.float32)
+        idx = jnp.zeros((self.batch_size, s, s), jnp.int32)
+        for _ in range(3):
+            out = self._eval_step(self.variables, dummy_img, dummy_mask, hw, dst, idx)
+        jax.block_until_ready(out)
+
+    def _denormalize(self, image: np.ndarray) -> np.ndarray:
+        return np.clip((image * self.std + self.mean) * 255.0, 0, 255).astype(np.uint8)
+
+    def evaluate(self, dataset: CODDataset, dataset_name: str,
+                 loader: Optional[Iterable[EvalBatch]] = None) -> Dict[str, float]:
+        self.result_manager.setup_dataset_directories(dataset_name)
+        totals = {k: 0.0 for k in METRIC_KEYS}
+        counts = {"good": 0, "medium": 0, "bad": 0}
+        n_samples = 0
+        eval_start = time.time()
+        loader = loader or eval_loader(
+            dataset, self.processor, self.batch_size, self.buckets,
+            with_originals=self.save_visualizations,
+        )
+
+        for batch in loader:
+            batch_start = time.time()
+            t0 = time.time()
+            seg_metrics, pred_c, edge_c, stage_preds = self._eval_step(
+                self.variables,
+                jnp.asarray(batch.images), jnp.asarray(batch.masks),
+                jnp.asarray(batch.mask_hw), jnp.asarray(batch.dst),
+                jnp.asarray(batch.nearest_idx),
+            )
+            seg_metrics = {k: np.asarray(v) for k, v in seg_metrics.items()}
+            pred_c = np.asarray(pred_c)
+            self.timing_stats["inference_times"].append(time.time() - t0)
+
+            edge_c = np.asarray(edge_c)
+            stage_preds = [np.asarray(s) for s in stage_preds]
+            for i in range(batch.images.shape[0]):
+                if batch.sample_mask[i] == 0:
+                    continue
+                n_samples += 1
+                sample_metrics = {
+                    _DEVICE_TO_API[k]: float(seg_metrics[k][i]) for k in seg_metrics
+                }
+                for k in METRIC_KEYS:
+                    totals[k] += sample_metrics[k]
+                h, w = batch.mask_hw[i]
+                if self.save_visualizations:
+                    orig = (
+                        batch.originals[i]
+                        if batch.originals
+                        else self._denormalize(batch.images[i])
+                    )
+                    category = self.result_manager.save_prediction(
+                        dataset_name, batch.names[i], sample_metrics,
+                        pred_c[i, :h, :w], edge_c[i, :h, :w],
+                        [s[i] for s in stage_preds], orig,
+                    )
+                else:
+                    category = ResultManager.determine_quality_category(sample_metrics)
+                counts[category] += 1
+            self.timing_stats["processing_times"].append(time.time() - batch_start)
+
+        avg = {k: v / max(n_samples, 1) for k, v in totals.items()}
+        self.timing_stats["total_time"] = time.time() - eval_start
+        self.timing_stats["total_samples"] = n_samples
+        self._save_summary(dataset_name, avg, counts)
+        return avg
+
+    def _save_summary(self, dataset_name: str, metrics: Dict[str, float],
+                      counts: Dict[str, int]):
+        timing = {
+            "total_time": self.timing_stats["total_time"],
+            "avg_inference_time": float(np.mean(self.timing_stats["inference_times"])),
+            "avg_processing_time": float(np.mean(self.timing_stats["processing_times"])),
+            "total_samples": self.timing_stats["total_samples"],
+        }
+        summary = {
+            "metrics": metrics,
+            "timing": timing,
+            "categories": self.result_manager.get_category_summary(dataset_name, counts),
+        }
+        out = self.result_manager.dataset_dirs[dataset_name]["root"] / "evaluation_summary.json"
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=4)
+        logger.info(f"\nEvaluation Results for {dataset_name}:")
+        logger.info(f"Total samples: {timing['total_samples']}, "
+                    f"total time: {timing['total_time']:.2f}s, "
+                    f"avg inference: {timing['avg_inference_time'] * 1000:.2f}ms/batch")
+        for k in METRIC_KEYS:
+            logger.info(f"{k}: {metrics[k]:.4f}")

@@ -1,0 +1,164 @@
+"""Prediction engine: single-image / directory inference with the reference's
+output tree (6 PNGs per image: seg+edge x binary/heatmap/overlay) and
+prediction_summary.json (reference: engine/predictor.py:56-215).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spegnet_tpu.data.pipeline import ImageProcessor
+from spegnet_tpu.models.spegnet import SPEGNet, SPEGNetConfig
+from spegnet_tpu.ops.resize import resize_bilinear
+from spegnet_tpu.engine.model_loader import load_model_variables
+
+logger = logging.getLogger(__name__)
+
+
+class PredictionResultManager:
+    def __init__(self, dir_manager):
+        self.run_dirs = dir_manager.run_dirs
+        self.viz_root = self.run_dirs.visualizations
+        self.seg_dir = self.viz_root / "segmentation"
+        self.edge_dir = self.viz_root / "edges"
+        for sub in ("binary", "heatmap", "overlay"):
+            (self.seg_dir / sub).mkdir(parents=True, exist_ok=True)
+            (self.edge_dir / sub).mkdir(parents=True, exist_ok=True)
+        self.log_file = self.run_dirs.log_file
+        self.timings = {"preprocessing": [], "inference": [], "postprocessing": []}
+
+    def log_message(self, message: str):
+        ts = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        with open(self.log_file, "a") as f:
+            f.write(f"[{ts}] {message}\n")
+
+    def save_prediction(self, filename: str, seg_pred: np.ndarray,
+                        edge_pred: np.ndarray, original_image: np.ndarray):
+        from spegnet_tpu.utils.visualization import (
+            save_binary_visualization,
+            save_heatmap_visualization,
+            save_overlay_visualization,
+        )
+
+        base = Path(filename).stem
+        for root, pred in ((self.seg_dir, seg_pred), (self.edge_dir, edge_pred)):
+            save_binary_visualization(pred, root / "binary" / f"{base}.png")
+            save_heatmap_visualization(pred, root / "heatmap" / f"{base}.png", normalize=True)
+            save_overlay_visualization(original_image, pred, root / "overlay" / f"{base}.png")
+
+    def update_timing(self, phase: str, dt: float):
+        self.timings[phase].append(dt)
+
+    def summarize(self) -> Dict:
+        n = len(list((self.seg_dir / "binary").glob("*.png")))
+        avg = {p: (float(np.mean(t)) if t else 0.0) for p, t in self.timings.items()}
+        total = sum(avg.values())
+        summary = {
+            "total_predictions": n,
+            "average_timings": avg,
+            "total_time_per_image": total,
+            "total_processing_time": total * n,
+        }
+        with open(self.run_dirs.root / "prediction_summary.json", "w") as f:
+            json.dump(summary, f, indent=4)
+        self.log_message(
+            f"\nPrediction Summary:\nTotal images processed: {n}\n"
+            f"Average timings (s): pre {avg['preprocessing']:.3f} / "
+            f"inf {avg['inference']:.3f} / post {avg['postprocessing']:.3f}\n"
+            f"Total per image: {total:.3f}s"
+        )
+        return summary
+
+
+class Predictor:
+    def __init__(self, model_path: str, model_config: Dict, dir_manager,
+                 batch_size: int = 1):
+        self.batch_size = batch_size or 1
+        img_cfg = model_config.get("image_processing", {})
+        self.target_size = img_cfg.get("target_size", 512)
+        self.processor = ImageProcessor(
+            self.target_size,
+            tuple(img_cfg.get("normalize_mean", (0.485, 0.456, 0.406))),
+            tuple(img_cfg.get("normalize_std", (0.229, 0.224, 0.225))),
+        )
+        self.model = SPEGNet(SPEGNetConfig.from_dict(model_config))
+        self.variables, _ = load_model_variables(model_path)
+        self.result_manager = PredictionResultManager(dir_manager)
+        self.result_manager.log_message(f"Model loaded from: {model_path}")
+
+        model = self.model
+
+        @jax.jit
+        def forward(variables, images):
+            out = model.apply(variables, images)
+            return (
+                jax.nn.sigmoid(out["predictions"][-1].astype(jnp.float32))[..., 0],
+                jax.nn.sigmoid(out["edge"].astype(jnp.float32))[..., 0],
+            )
+
+        self._forward = forward
+        # Warm-up (pays compilation, reference: predictor.py:283-289).
+        s = self.target_size
+        w = self._forward(self.variables, jnp.zeros((1, s, s, 3), jnp.float32))
+        jax.block_until_ready(w)
+
+    def preprocess_image(self, image_path: str) -> np.ndarray:
+        t0 = time.time()
+        img = self.processor.process_image(image_path)[None]
+        self.result_manager.update_timing("preprocessing", time.time() - t0)
+        return img
+
+    def predict_single(
+        self, image_path: str, output_size: Optional[Tuple[int, int]] = None
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        image = self.preprocess_image(image_path)
+        t0 = time.time()
+        seg, edge = self._forward(self.variables, jnp.asarray(image))
+        seg, edge = np.asarray(seg[0]), np.asarray(edge[0])
+        dt = time.time() - t0
+        self.result_manager.update_timing("inference", dt)
+        self.result_manager.log_message(f"Inference time for {image_path}: {dt:.3f}s")
+
+        t0 = time.time()
+        if output_size:
+            seg = np.asarray(resize_bilinear(jnp.asarray(seg), tuple(output_size)))
+            edge = np.asarray(resize_bilinear(jnp.asarray(edge), tuple(output_size)))
+        self.result_manager.update_timing("postprocessing", time.time() - t0)
+        original = self.processor.load_original(image_path)
+        return seg, edge, original
+
+    def predict_batch(self, image_paths: List[str],
+                      output_size: Optional[Tuple[int, int]] = None) -> Dict:
+        self.result_manager.log_message(
+            f"Starting batch prediction of {len(image_paths)} images "
+            f"with batch size {self.batch_size}"
+        )
+        for path in image_paths:
+            seg, edge, original = self.predict_single(path, output_size)
+            self.result_manager.save_prediction(Path(path).name, seg, edge, original)
+        return self.result_manager.summarize()
+
+    def predict_directory(self, input_dir: str,
+                          output_size: Optional[Tuple[int, int]] = None,
+                          extensions: tuple = (".jpg", ".png", ".jpeg")) -> Dict:
+        input_dir = Path(input_dir)
+        if not input_dir.is_dir():
+            raise NotADirectoryError(f"Invalid directory: {input_dir}")
+        image_paths = sorted(
+            str(p) for p in input_dir.glob("**/*") if p.suffix.lower() in extensions
+        )
+        if not image_paths:
+            raise ValueError(f"No valid images found in {input_dir}")
+        self.result_manager.log_message(
+            f"Found {len(image_paths)} images in {input_dir}"
+        )
+        return self.predict_batch(image_paths, output_size)

@@ -163,8 +163,14 @@ def cod_loss(
     mask_hw: jnp.ndarray,                # [B, 2]
     edge_hw: jnp.ndarray,                # [B, 2]
     cfg: LossConfig,
+    sample_weight: jnp.ndarray | None = None,  # [B], for padded tail batches
 ) -> Dict[str, jnp.ndarray]:
-    """Full training loss.  All math in f32 regardless of model compute dtype."""
+    """Full training loss.  All math in f32 regardless of model compute dtype.
+
+    ``sample_weight`` turns the batch means into weighted means so batches
+    padded to a multiple of the data-parallel mesh axis stay numerically
+    equivalent to the reference's plain mean over the real samples.
+    """
     canvas_hw = masks.shape[1:3]
     masks = masks.astype(jnp.float32)
     edges = edges.astype(jnp.float32)
@@ -182,8 +188,14 @@ def cod_loss(
     )
     edge = edge_loss(edge_c, edges, evalid, edge_hw, cfg)
 
-    seg_mean = jnp.mean(seg)
-    edge_mean = jnp.mean(edge)
+    if sample_weight is None:
+        seg_mean = jnp.mean(seg)
+        edge_mean = jnp.mean(edge)
+    else:
+        w = sample_weight.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        seg_mean = jnp.sum(seg * w) / denom
+        edge_mean = jnp.sum(edge * w) / denom
     return {
         "loss": seg_mean + cfg.edge_weight * edge_mean,
         "seg_loss": seg_mean,

@@ -1,0 +1,188 @@
+"""End-to-end engine test on a synthetic dataset (tiny variant, CPU).
+
+Covers: dataset discovery + seed-42 split parity, train loop (jitted step,
+padded tail batch), validation metrics, checkpoint save/load + resume,
+evaluator (quality buckets + summary JSON), predictor (6-PNG tree).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from spegnet_tpu.data.dataset import concat_train_datasets, get_test_datasets, train_val_split
+from spegnet_tpu.utils.run_manager import DirectoryManager
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds") / "SYNTH"
+    rng = np.random.default_rng(0)
+    sizes = [(48, 56), (64, 48), (56, 64), (40, 40), (64, 64), (48, 48)]
+    for split, n in (("train", 6), ("test", 3)):
+        for d in ("Imgs", "GT") + (("Edges",) if split == "train" else ()):
+            (root / split / d).mkdir(parents=True)
+        for i in range(n):
+            h, w = sizes[i % len(sizes)]
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            m = (((yy - h / 2) ** 2 + (xx - w / 2) ** 2) < (min(h, w) / 4) ** 2)
+            mask = (m * 255).astype(np.uint8)
+            img[m] = (img[m] * 0.7 + 60).astype(np.uint8)  # learnable signal
+            Image.fromarray(img).save(root / split / "Imgs" / f"s{i}.jpg")
+            Image.fromarray(mask).save(root / split / "GT" / f"s{i}.png")
+            if split == "train":
+                edge = np.zeros_like(mask)
+                edge[1:, :] |= mask[1:, :] != mask[:-1, :]
+                edge[:, 1:] |= mask[:, 1:] != mask[:, :-1]
+                Image.fromarray((edge * 255).astype(np.uint8)).save(
+                    root / split / "Edges" / f"s{i}.png"
+                )
+    return root
+
+
+def make_config(tmp_path):
+    return {
+        "model": {
+            "name": "spegnet",
+            "encoder": {"variant": "test"},
+            "image_processing": {
+                "target_size": 64,
+                "normalize_mean": [0.485, 0.456, 0.406],
+                "normalize_std": [0.229, 0.224, 0.225],
+            },
+            "compute_dtype": "float32",
+        },
+        "training": {
+            "num_epochs": 2,
+            "batch_size": 4,
+            "num_workers": 0,
+            "val_ratio": 0.34,
+            "save_freq": 1,
+            "gradient_clip": 1.0,
+            "early_stop_patience": 20,
+            "min_delta": 0.0005,
+            "canvas_buckets": [64, 128],
+            "optimizer": {"learning_rate": 1e-3, "weight_decay": 1e-5,
+                          "encoder_lr_ratio": 0.05},
+            "scheduler": {"factor": 0.7, "patience": 5, "min_lr": 1e-6},
+            "loss": {"scale_weights": [0.2, 0.3, 0.5], "boundary_weight": 2.0,
+                     "bce_weight": 1.25, "iou_weight": 1.0, "edge_weight": 0.75,
+                     "edge_focal_alpha": 0.75, "edge_focal_gamma": 2.0},
+        },
+        "evaluation": {"batch_size": 2, "num_workers": 0},
+        "prediction": {"batch_size": 1, "output_size": None},
+        "parallel": {"mesh": {"data": 1}},
+    }
+
+
+def test_split_matches_torch_random_split(synthetic_dataset):
+    import torch
+    from torch.utils.data import random_split
+
+    ds = concat_train_datasets([str(synthetic_dataset)])
+    train, val = train_val_split(ds, 0.34)
+    n = len(ds)
+    train_size = int((1 - 0.34) * n)
+    ref_train, ref_val = random_split(
+        list(range(n)), [train_size, n - train_size],
+        generator=torch.Generator().manual_seed(42),
+    )
+    assert [s.name for s in train.samples] == [ds.samples[i].name for i in ref_train]
+    assert [s.name for s in val.samples] == [ds.samples[i].name for i in ref_val]
+
+
+@pytest.fixture(scope="module")
+def trained(synthetic_dataset, tmp_path_factory):
+    from spegnet_tpu.engine.trainer import Trainer
+
+    out = tmp_path_factory.mktemp("results")
+    config = make_config(out)
+    dm = DirectoryManager("train", base_dir=str(out))
+    trainer = Trainer(config, dm)
+    trainer.train([str(synthetic_dataset)])
+    return trainer, dm, config, out
+
+
+def test_training_produces_history_and_checkpoints(trained):
+    trainer, dm, config, out = trained
+    history = json.loads(dm.run_dirs.metrics_file.read_text())
+    assert len(history["epochs"]) == 2
+    assert "train" in history["epochs"][0] and "val" in history["epochs"][0]
+    for key in ("loss", "seg_loss", "edge_loss"):
+        assert key in history["epochs"][0]["train"]["metrics"]
+    for key in ("weighted_f", "s_alpha", "mae", "e_phi", "mean_f",
+                "edge_mae", "edge_f"):
+        assert key in history["epochs"][0]["val"]["metrics"]
+    ckpts = list(dm.run_dirs.checkpoints.glob("checkpoint_*"))
+    assert ckpts, "periodic checkpoint missing"
+    # Loss should decrease over two epochs of this separable synthetic task.
+    l0 = history["epochs"][0]["train"]["metrics"]["loss"]
+    l1 = history["epochs"][1]["train"]["metrics"]["loss"]
+    assert l1 < l0
+
+
+def test_resume_from_checkpoint(trained):
+    from spegnet_tpu.engine.trainer import Trainer
+
+    trainer, dm, config, out = trained
+    ckpt = sorted(dm.run_dirs.checkpoints.glob("checkpoint_*"))[-1]
+    dm2 = DirectoryManager("train", base_dir=str(out / "resume"))
+    t2 = Trainer(config, dm2)
+    t2.load_checkpoint(str(ckpt), resume=True)
+    assert t2.start_epoch == int(ckpt.stem.split("_")[1]) + 1
+    p0 = np.asarray(
+        list(jax_leaves(trainer.params))[0], np.float32
+    )
+    p1 = np.asarray(list(jax_leaves(t2.params))[0], np.float32)
+    np.testing.assert_array_equal(p0, p1)
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def test_evaluator_outputs(trained, synthetic_dataset):
+    from spegnet_tpu.engine.evaluator import Evaluator
+
+    trainer, dm, config, out = trained
+    ckpt = sorted(dm.run_dirs.checkpoints.glob("checkpoint_*"))[-1]
+    edm = DirectoryManager("evaluate", base_dir=str(out / "eval"))
+    ev = Evaluator(
+        model_path=str(ckpt), dir_manager=edm, model_config=config["model"],
+        batch_size=2, save_visualizations=True, canvas_buckets=(64, 128),
+    )
+    datasets = get_test_datasets([str(synthetic_dataset)])
+    metrics = ev.evaluate(datasets["SYNTH"], "SYNTH")
+    for k in ("s_alpha", "weighted_f", "mae", "e_phi", "mean_f"):
+        assert 0.0 <= metrics[k] <= 1.0
+    summary = json.loads(
+        (edm.run_dirs.root / "SYNTH" / "evaluation_summary.json").read_text()
+    )
+    assert summary["categories"]["total"] == 3
+    assert summary["timing"]["total_samples"] == 3
+    # Visualization tree exists with binary/heatmap/overlay triplets.
+    viz = edm.run_dirs.root / "SYNTH" / "visualizations"
+    pngs = list(viz.rglob("*.png"))
+    assert len(pngs) >= 3 * 3  # at least binary+heatmap+overlay per sample
+
+
+def test_predictor_outputs(trained, synthetic_dataset):
+    from spegnet_tpu.engine.predictor import Predictor
+
+    trainer, dm, config, out = trained
+    ckpt = sorted(dm.run_dirs.checkpoints.glob("checkpoint_*"))[-1]
+    pdm = DirectoryManager("predict", base_dir=str(out / "pred"))
+    pred = Predictor(
+        model_path=str(ckpt), model_config=config["model"], dir_manager=pdm,
+    )
+    summary = pred.predict_directory(str(synthetic_dataset / "test" / "Imgs"))
+    assert summary["total_predictions"] == 3
+    for sub in ("binary", "heatmap", "overlay"):
+        assert len(list((pdm.run_dirs.visualizations / "segmentation" / sub).glob("*.png"))) == 3
+        assert len(list((pdm.run_dirs.visualizations / "edges" / sub).glob("*.png"))) == 3
+    assert (pdm.run_dirs.root / "prediction_summary.json").exists()
