@@ -18,7 +18,9 @@ import os
 import jax
 import jax.numpy as jnp
 
-_USE_PALLAS = os.environ.get("SPEGNET_PALLAS_ATTENTION", "auto")
+# "auto"/"1" enable the fused kernel where supported; "0" forces XLA.
+# Module-level so it can be flipped at runtime (a re-jit picks it up).
+USE_PALLAS = os.environ.get("SPEGNET_PALLAS_ATTENTION", "auto")
 
 
 def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
@@ -34,7 +36,7 @@ def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 
 def scaled_dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Dispatch to the fused Pallas kernel on TPU when profitable."""
-    if _USE_PALLAS in ("auto", "1"):
+    if USE_PALLAS in ("auto", "1"):
         try:
             from spegnet_tpu.ops.pallas_attention import fused_attention, is_supported
 

@@ -1,17 +1,142 @@
-"""Fused TPU attention kernel (Pallas) — placeholder gate for round-1 slice.
+"""Fused TPU attention kernel (Pallas) for Hiera's windowed/global stages.
 
-The fused kernel lands in the optimization phase; until then `is_supported`
-returns False so the dispatcher uses the XLA reference path.
+Why: the XLA path materializes the f32 [L, L] probability tensor in HBM
+twice per block (scores out, softmax in/out, PV in).  At Hiera-L 512^2 that
+is ~540 MB of traffic per *global* stage-3 block (L=1024, 8 heads, batch 8)
+— measured at 679 us/block vs 269 us for windowed blocks.  Hiera's sequence
+lengths are small (window^2 = 16..256 tokens; global = 1024 at 512^2 input,
+4096 at 1024^2), so an entire (window, head) problem fits in VMEM: one grid
+cell loads Q/K/V [L, D], computes scores + softmax + PV entirely on-chip and
+writes only the [L, D] output.  No online-softmax tiling needed below
+L ~ 2048; above that the dispatcher falls back to XLA.
+
+The kernel folds multiple (window, head) problems per grid cell (WINS) so
+tiny windows (L=16..64) amortize DMA/loop overhead.
+
+Training: pallas_call has no autodiff; `fused_attention` carries a
+custom_vjp whose backward recomputes through the XLA reference path, so the
+fused forward is used everywhere and gradients stay exact.
+
+Numerics: scores and softmax in f32 (max-subtracted), probabilities cast to
+the input dtype for the PV matmul — identical to the reference einsum path
+(spegnet_tpu/ops/attention.py) within bf16 rounding; parity-tested in
+tests/test_pallas_attention.py.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Maximum sequence length handled fully in VMEM (scores [L, L] f32 = 16 MB at
+# L=2048; we stay well under with 1024... allow 2048 with wins=1).
+_MAX_L = 2048
+_VMEM_BUDGET = 100 * 1024 * 1024  # generous; per-cell usage is checked below
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, wins: int):
+    def one(i, _):
+        q = q_ref[i, :, :]
+        k = k_ref[i, :, :]
+        v = v_ref[i, :, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        # Normalize the [L, D] output instead of the [L, L] probabilities:
+        # one fewer L^2 VPU pass (the softmax is the kernel's critical path).
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = o * pl.reciprocal(denom, approx=False)
+        o_ref[i, :, :] = o.astype(o_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, wins, one, 0, unroll=True)
+
+
+def _pick_wins(n: int, l: int, d: int, itemsize: int) -> int:
+    """Problems per grid cell: enough to amortize overhead, bounded by VMEM
+    (double-buffered blocks) and divisibility of n."""
+    # per-problem VMEM: q,k,v,o blocks (2x for pipelining) + scores f32
+    per = 4 * l * max(d, 128) * itemsize * 2 + l * max(l, 128) * 4
+    budget = 12 * 1024 * 1024
+    cap = max(1, budget // per)
+    target = max(1, min(cap, 4096 // max(l, 64)))
+    for w in range(min(target, n), 0, -1):
+        if n % w == 0:
+            return w
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    return _fused_forward(q, k, v)
+
+
+def _fused_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    b, l, h, d = q.shape
+    scale = d ** -0.5
+    # [B, L, H, D] -> [B*H, L, D] problem-major layout.
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, l, d)
+    n = b * h
+    wins = _pick_wins(n, l, d, q.dtype.itemsize)
+    grid = (n // wins,)
+    spec = pl.BlockSpec((wins, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, wins=wins),
+        out_shape=jax.ShapeDtypeStruct((n, l, d), q.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * l * l * d,
+            bytes_accessed=4 * n * l * d * q.dtype.itemsize,
+            transcendentals=n * l * l,
+        ),
+    )(qt, kt, vt)
+    return out.reshape(b, h, l, d).transpose(0, 2, 1, 3)
+
+
+def _fwd(q, k, v):
+    return _fused_forward(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    from spegnet_tpu.ops.attention import attention_reference
+
+    q, k, v = res
+    _, vjp = jax.vjp(attention_reference, q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)
 
 
 def is_supported(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
-    return False
-
-
-def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    raise NotImplementedError
+    """Fused path: TPU backend, [B, L, H, D] self-attention with equal Q/K
+    lengths, L small enough to solve fully in VMEM."""
+    try:
+        platform = q.devices().pop().platform if hasattr(q, "devices") else None
+    except Exception:
+        platform = None
+    if platform is None:
+        # Abstract values during tracing: decide by backend default.
+        platform = jax.default_backend()
+    if platform not in ("tpu", "axon"):
+        return False
+    if q.ndim != 4 or q.shape != k.shape or q.shape != v.shape:
+        return False
+    _, l, _, d = q.shape
+    return l <= _MAX_L and d <= 256 and l >= 16

@@ -167,8 +167,22 @@ def resize_bilinear(
     orig_dtype = x.dtype
     if (h_in, w_in) == (h_out, w_out):
         return x
+    # NOTE: an elementwise 2x-lerp fast path was benchmarked and LOST to the
+    # matmul form on TPU (the interleave forces layout changes; the dense
+    # matmul rides the MXU) — keep everything as two small matmuls.
     a_h = jnp.asarray(_resize_matrix_cached(h_in, h_out, bool(antialias)))
     a_w = jnp.asarray(_resize_matrix_cached(w_in, w_out, bool(antialias)))
+    if orig_dtype == jnp.bfloat16:
+        # Model-internal resize under bf16 compute (the AMP analogue): bf16
+        # operands on the MXU with f32 accumulation.  Dyadic upsample weights
+        # (0.125 steps for the 2x/4x fusion upsamples) are exact in bf16.
+        y = jnp.tensordot(a_h.astype(jnp.bfloat16), x, axes=[[1], [h_axis]],
+                          preferred_element_type=jnp.float32)
+        y = jnp.moveaxis(y, 0, h_axis)
+        y = jnp.tensordot(a_w.astype(jnp.bfloat16), y.astype(jnp.bfloat16),
+                          axes=[[1], [w_axis]], preferred_element_type=jnp.float32)
+        y = jnp.moveaxis(y, 0, w_axis)
+        return y.astype(orig_dtype)
     xf = x.astype(jnp.float32)
     # Contract H then W; keep channels last so the matmuls are MXU-friendly.
     # precision=HIGHEST: interpolation weights must not be rounded to bf16 on
