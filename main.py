@@ -17,11 +17,16 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 from pathlib import Path
 from typing import Dict
 
 import yaml
+
+# Persistent XLA compile cache: Hiera-L at 512^2 takes ~45 s to compile; the
+# cache makes every later invocation start hot.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 from spegnet_tpu.config import (
     DEFAULT_MODEL_PATH,
@@ -130,6 +135,11 @@ def print_model_info(config: Dict) -> None:
 
 def main() -> None:
     try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         args = parse_args()
         dir_manager = DirectoryManager(args.mode)
         setup_logging(dir_manager)

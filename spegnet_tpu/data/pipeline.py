@@ -68,7 +68,14 @@ class ImageProcessor:
 
     def process_image(self, path: str) -> np.ndarray:
         img = Image.open(path).convert("RGB")
-        arr = np.asarray(img, np.float32) / 255.0  # [H, W, 3]
+        rgb = np.asarray(img, np.uint8)
+        # Native C++ fused path (decode excepted): u8 -> resize AA -> normalize.
+        from spegnet_tpu import native
+
+        out = native.preprocess_image(rgb, self.target_size, self.mean, self.std)
+        if out is not None:
+            return out
+        arr = rgb.astype(np.float32) / 255.0  # [H, W, 3]
         a_h = self._matrix(arr.shape[0])
         a_w = self._matrix(arr.shape[1])
         # out[s, t, c] = A_h[s, i] A_w[t, j] x[i, j, c] via two matmuls.

@@ -53,8 +53,6 @@ def edt_for_canvas(gt: np.ndarray, canvas_hw: Tuple[int, int]) -> Tuple[np.ndarr
         idx: [Hc, Wc] int32 — *canvas-flat* index of the nearest foreground
              pixel (identity outside the valid region).
     """
-    from scipy import ndimage
-
     hc, wc = canvas_hw
     h, w = gt.shape
     dst = np.zeros((hc, wc), np.float32)
@@ -62,7 +60,16 @@ def edt_for_canvas(gt: np.ndarray, canvas_hw: Tuple[int, int]) -> Tuple[np.ndarr
     idx = (yy * wc + xx).astype(np.int32)
     fg = np.asarray(gt) > 0
     if fg.any():
-        d, (iy, ix) = ndimage.distance_transform_edt(~fg, return_indices=True)
+        from spegnet_tpu import native
+
+        res = native.edt_with_indices(fg)
+        if res is not None:
+            d, flat = res
+            iy, ix = flat // w, flat % w
+        else:
+            from scipy import ndimage
+
+            d, (iy, ix) = ndimage.distance_transform_edt(~fg, return_indices=True)
         dst[:h, :w] = d.astype(np.float32)
         idx[:h, :w] = (iy.astype(np.int64) * wc + ix.astype(np.int64)).astype(np.int32)
     return dst, idx
