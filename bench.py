@@ -91,6 +91,7 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(best / 60.6, 3),
         "best_batch": best_batch,
+        "p50_ms_image": round(1000.0 / best, 2) if best else None,
     }
     print(json.dumps(result))
 

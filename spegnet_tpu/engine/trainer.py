@@ -180,7 +180,14 @@ class Trainer:
         self.mesh = mesh or mesh_from_config(config.get("parallel"))
         self.data_axis = int(self.mesh.shape.get("data", 1))
 
-        self.model = SPEGNet(SPEGNetConfig.from_dict(self.model_config))
+        import dataclasses as _dc
+
+        model_cfg = SPEGNetConfig.from_dict(self.model_config)
+        # Rematerialize encoder blocks during training by default: trades
+        # ~30% extra forward FLOPs in the backward pass for fitting the
+        # reference's batch size in one chip's HBM.
+        model_cfg = _dc.replace(model_cfg, remat=self.config.get("remat", True))
+        self.model = SPEGNet(model_cfg)
         self.loss_cfg = LossConfig.from_dict(self.config.get("loss", {}))
         self.batch_size = self.config["batch_size"]
         self.num_epochs = self.config["num_epochs"]
@@ -198,6 +205,17 @@ class Trainer:
         )
 
         self.monitor = TrainingMonitor(dir_manager)
+
+        # Observability: optional xprof trace of a few steps + NaN guard.
+        from spegnet_tpu.utils.profiling import TraceSession, enable_nan_checks
+
+        profile_dir = self.config.get("profile_dir")
+        if profile_dir is None and self.config.get("profile"):
+            profile_dir = str(dir_manager.run_dirs.root / "profile")
+        self.trace = TraceSession(profile_dir)
+        if self.config.get("debug_nans"):
+            enable_nan_checks(True)
+
         self._init_state()
         self._build_steps()
 
@@ -367,6 +385,7 @@ class Trainer:
             self.mesh,
         )
         timing["data_time"] = time.time() - t0
+        self.trace.step()
         t0 = time.time()
         with self.mesh:
             self.params, self.batch_stats, self.opt_state, ld = self._train_step(
@@ -458,6 +477,7 @@ class Trainer:
 
             if (epoch + 1) % self.save_freq == 0:
                 self.save_checkpoint(epoch, val_metrics or train_metrics, is_best=False)
+        self.trace.close()
 
     def _val_loader(self, val_ds, num_workers):
         """Validation batches: train-style + EDT maps for the weighted F."""

@@ -200,6 +200,7 @@ class Hiera(nn.Module):
 
     variant: str = "large"
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize blocks (training memory vs FLOPs)
 
     @property
     def config(self) -> HieraConfig:
@@ -208,6 +209,17 @@ class Hiera(nn.Module):
     @property
     def channels(self) -> Tuple[int, ...]:
         return self.config.channels
+
+    def get_output_shapes(self, height: int, width: int):
+        """(C, H, W) per stage for a given input size
+        (API parity with the reference encoder: feature_encoding.py:239-271)."""
+        if height % 32 or width % 32:
+            raise ValueError("Input dimensions must be divisible by 32")
+        shapes = []
+        for i, c in enumerate(self.channels):
+            s = 4 * (2 ** i)
+            shapes.append((c, height // s, width // s))
+        return shapes
 
     def _pos_embed(self, hw: Tuple[int, int]) -> jnp.ndarray:
         cfg = self.config
@@ -242,6 +254,15 @@ class Hiera(nn.Module):
         embed_dim, num_heads = cfg.embed_dim, cfg.num_heads
         cur_stage = 1
         outputs = []
+        block_cls = MultiScaleBlock
+        if self.remat:
+            # Recompute block internals in the backward pass, keeping only the
+            # MXU matmul outputs (dots policy): fits Hiera-L training at the
+            # reference's batch 42 in a single v5e's 16 GB HBM.
+            block_cls = nn.remat(
+                MultiScaleBlock,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
         for i in range(cfg.depth):
             dim_out = embed_dim
             window_size = cfg.window_spec[cur_stage - 1]
@@ -251,7 +272,7 @@ class Hiera(nn.Module):
                 dim_out = int(embed_dim * cfg.dim_mul)
                 num_heads = int(num_heads * cfg.head_mul)
                 cur_stage += 1
-            x = MultiScaleBlock(
+            x = block_cls(
                 dim=embed_dim,
                 dim_out=dim_out,
                 num_heads=num_heads,

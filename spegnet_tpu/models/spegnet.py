@@ -36,6 +36,7 @@ class SPEGNetConfig:
     decoder_channels: Sequence[int] = (256, 128, 64)
     n_classes: int = 1
     compute_dtype: str = "float32"
+    remat: bool = False
 
     @classmethod
     def from_dict(cls, model_config: Dict[str, Any]) -> "SPEGNetConfig":
@@ -43,6 +44,7 @@ class SPEGNetConfig:
         return cls(
             variant=enc.get("variant", "large"),
             compute_dtype=model_config.get("compute_dtype", "float32"),
+            remat=model_config.get("remat", False),
         )
 
     @property
@@ -60,7 +62,9 @@ class SPEGNet(nn.Module):
         cfg = self.config
         dtype = cfg.dtype
 
-        features = Hiera(variant=cfg.variant, dtype=dtype, name="encoder")(x)
+        features = Hiera(
+            variant=cfg.variant, dtype=dtype, remat=cfg.remat, name="encoder"
+        )(x)
         stage2, stage3, stage4 = features[1], features[2], features[3]
 
         fused = AdaptiveAttentionFusion(

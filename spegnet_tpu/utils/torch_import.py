@@ -260,6 +260,156 @@ def import_checkpoint(
     raise ValueError(f"Unrecognized checkpoint schema at {path}: {list(ckpt)[:5]}")
 
 
+# ---------------------------------------------------------------------------
+# Export: JAX variables -> reference-schema .pth (two-way interop).
+# ---------------------------------------------------------------------------
+
+_INV_LN = {"scale": "weight", "bias": "bias"}
+_INV_BN_PARAM = {"scale": "weight", "bias": "bias"}
+_INV_BN_STAT = {"mean": "running_mean", "var": "running_var"}
+
+
+def _inv_conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+def _inv_linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _inv_posembed(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 0, 1))[None]
+
+
+def _export_hiera(params: Dict, out: Dict, prefix: str) -> None:
+    for name, sub in params.items():
+        if name == "pos_embed":
+            out[f"{prefix}pos_embed"] = _inv_posembed(sub)
+        elif name == "pos_embed_window":
+            out[f"{prefix}pos_embed_window"] = _inv_posembed(sub)
+        elif name == "patch_embed":
+            out[f"{prefix}patch_embed.proj.weight"] = _inv_conv(sub["kernel"])
+            out[f"{prefix}patch_embed.proj.bias"] = sub["bias"]
+        elif name.startswith("block"):
+            i = int(name[5:])
+            b = f"{prefix}blocks.{i}."
+            for ln in ("norm1", "norm2"):
+                for fk, tk in _INV_LN.items():
+                    out[f"{b}{ln}.{tk}"] = sub[ln][fk]
+            for flax_name, torch_name in (
+                (("attn", "qkv"), "attn.qkv"), (("attn", "proj"), "attn.proj"),
+                (("mlp_fc1",), "mlp.layers.0"), (("mlp_fc2",), "mlp.layers.1"),
+                (("proj",), "proj"),
+            ):
+                node = sub
+                for k in flax_name:
+                    node = node.get(k) if isinstance(node, dict) else None
+                    if node is None:
+                        break
+                if node is None:
+                    continue
+                out[f"{b}{torch_name}.weight"] = _inv_linear(node["kernel"])
+                if "bias" in node:
+                    out[f"{b}{torch_name}.bias"] = node["bias"]
+
+
+def _export_conv_bn(params, stats, out, conv_key, bn_key):
+    out[f"{conv_key}.weight"] = _inv_conv(params["conv"]["kernel"])
+    for fk, tk in _INV_BN_PARAM.items():
+        out[f"{bn_key}.{tk}"] = params["bn"][fk]
+    for fk, tk in _INV_BN_STAT.items():
+        out[f"{bn_key}.{tk}"] = stats["bn"][fk]
+    out[f"{bn_key}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_spegnet_state_dict(variables: Dict[str, Dict]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_spegnet_state_dict`: produce a reference-
+    schema ``model_state_dict`` (NumPy arrays; wrap with torch for .pth) so
+    models trained here can be consumed by the reference stack."""
+    p = jax_to_numpy(variables["params"])
+    s = jax_to_numpy(variables.get("batch_stats", {}))
+    out: Dict[str, np.ndarray] = {}
+    _export_hiera(p["encoder"], out, "encoder.encoder.")
+
+    out["fusion.conv1x1.weight"] = _inv_conv(p["fusion"]["conv1x1"]["kernel"])
+    for fk, tk in _INV_BN_PARAM.items():
+        out[f"fusion.bn.{tk}"] = p["fusion"]["bn"][fk]
+    for fk, tk in _INV_BN_STAT.items():
+        out[f"fusion.bn.{tk}"] = s["fusion"]["bn"][fk]
+    out["fusion.bn.num_batches_tracked"] = np.asarray(0, np.int64)
+    out["fusion.se_block.fc.0.weight"] = _inv_linear(p["fusion"]["se_block"]["fc1"]["kernel"])
+    out["fusion.se_block.fc.2.weight"] = _inv_linear(p["fusion"]["se_block"]["fc2"]["kernel"])
+
+    ctx_p, ctx_s = p["context"], s["context"]
+    _export_conv_bn(ctx_p["reduce"], ctx_s["reduce"], out, "context.reduce.0", "context.reduce.1")
+    k = 0
+    while f"branch{k}" in ctx_p:
+        _export_conv_bn(ctx_p[f"branch{k}"], ctx_s[f"branch{k}"], out,
+                        f"context.branches.{k}.0", f"context.branches.{k}.1")
+        k += 1
+    _export_conv_bn(ctx_p["global_branch"], ctx_s["global_branch"], out,
+                    "context.global_branch.1", "context.global_branch.2")
+    _export_conv_bn(ctx_p["fusion"], ctx_s["fusion"], out,
+                    "context.fusion.0", "context.fusion.1")
+    _export_conv_bn(ctx_p["expand"], ctx_s["expand"], out,
+                    "context.expand.0", "context.expand.1")
+
+    out["edge_detector.conv1.weight"] = _inv_conv(p["edge_detector"]["conv1"]["kernel"])
+    for fk, tk in _INV_BN_PARAM.items():
+        out[f"edge_detector.bn1.{tk}"] = p["edge_detector"]["bn1"][fk]
+    for fk, tk in _INV_BN_STAT.items():
+        out[f"edge_detector.bn1.{tk}"] = s["edge_detector"]["bn1"][fk]
+    out["edge_detector.bn1.num_batches_tracked"] = np.asarray(0, np.int64)
+    out["edge_detector.edge_conv.weight"] = _inv_conv(p["edge_detector"]["edge_conv"]["kernel"])
+    out["edge_detector.edge_conv.bias"] = p["edge_detector"]["edge_conv"]["bias"]
+
+    dec_p, dec_s = p["decoder"], s["decoder"]
+    i = 0
+    while f"block{i}" in dec_p:
+        b = f"decoder.decoder_blocks.{i}"
+        for num in (1, 2):
+            out[f"{b}.conv{num}.weight"] = _inv_conv(dec_p[f"block{i}"][f"conv{num}"]["kernel"])
+            out[f"{b}.conv{num}.bias"] = dec_p[f"block{i}"][f"conv{num}"]["bias"]
+            for fk, tk in _INV_BN_PARAM.items():
+                out[f"{b}.bn{num}.{tk}"] = dec_p[f"block{i}"][f"bn{num}"][fk]
+            for fk, tk in _INV_BN_STAT.items():
+                out[f"{b}.bn{num}.{tk}"] = dec_s[f"block{i}"][f"bn{num}"][fk]
+            out[f"{b}.bn{num}.num_batches_tracked"] = np.asarray(0, np.int64)
+        out[f"decoder.pred_heads.{i}.weight"] = _inv_conv(dec_p[f"head{i}"]["kernel"])
+        out[f"decoder.pred_heads.{i}.bias"] = dec_p[f"head{i}"]["bias"]
+        i += 1
+    return out
+
+
+def jax_to_numpy(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x, dtype=np.float32), tree)
+
+
+def save_torch_checkpoint(path: str, variables: Dict, config: Optional[Dict] = None,
+                          epoch: int = 0, metrics: Optional[Dict] = None) -> None:
+    """Write a reference-schema .pth (reference: engine/trainer.py:588-606)."""
+    import torch
+
+    state_dict = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_spegnet_state_dict(variables).items()
+    }
+    torch.save(
+        {
+            "epoch": epoch,
+            "model_state_dict": state_dict,
+            "optimizer_state_dict": {},
+            "scheduler_state_dict": {},
+            "scaler": {},
+            "metrics": metrics or {},
+            "config": config or {},
+        },
+        path,
+    )
+
+
 def validate_against(variables: Dict, expected: Dict) -> None:
     """Check the imported tree matches an expected (eval_shape) structure."""
     import jax
