@@ -122,7 +122,8 @@ class Evaluator:
         self._warmup()
 
     def _make_eval_step(self):
-        model, variables = self.model, None  # variables passed per call
+        model = self.model
+        with_viz = self.save_visualizations
 
         def step(variables, images, masks, mask_hw, dst, nearest_idx):
             out = model.apply(variables, images)
@@ -132,6 +133,9 @@ class Evaluator:
             seg_metrics = compute_batch_metrics(
                 quantize_predictions(pred_c), masks, valid, mask_hw, dst, nearest_idx
             )
+            if not with_viz:
+                # Metrics-only eval: nothing but [B] scalars crosses to host.
+                return seg_metrics, None, None, None
             edge_c, _ = resize_logits_to_canvas(
                 out["edge"].astype(jnp.float32), mask_hw, canvas
             )
@@ -184,11 +188,11 @@ class Evaluator:
                 jnp.asarray(batch.nearest_idx),
             )
             seg_metrics = {k: np.asarray(v) for k, v in seg_metrics.items()}
-            pred_c = np.asarray(pred_c)
             self.timing_stats["inference_times"].append(time.time() - t0)
-
-            edge_c = np.asarray(edge_c)
-            stage_preds = [np.asarray(s) for s in stage_preds]
+            if self.save_visualizations:
+                pred_c = np.asarray(pred_c)
+                edge_c = np.asarray(edge_c)
+                stage_preds = [np.asarray(s) for s in stage_preds]
             for i in range(batch.images.shape[0]):
                 if batch.sample_mask[i] == 0:
                     continue

@@ -228,7 +228,7 @@ class Trainer:
         dummy = jnp.zeros((1, size, size, 3), jnp.float32)
         encoder_ckpt = self.model_config.get("encoder", {}).get("checkpoint_path")
 
-        with self.mesh:
+        with jax.set_mesh(self.mesh):
             variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
         self.params = variables["params"]
         self.batch_stats = variables["batch_stats"]
@@ -387,7 +387,7 @@ class Trainer:
         timing["data_time"] = time.time() - t0
         self.trace.step()
         t0 = time.time()
-        with self.mesh:
+        with jax.set_mesh(self.mesh):
             self.params, self.batch_stats, self.opt_state, ld = self._train_step(
                 self.params, self.batch_stats, self.opt_state, self._scales_array(),
                 *dev,
@@ -419,7 +419,7 @@ class Trainer:
                  batch.edge_hw, batch.dst, batch.nearest_idx),
                 self.mesh,
             )
-            with self.mesh:
+            with jax.set_mesh(self.mesh):
                 ld, seg, edge_m = self._val_step(
                     self.params, self.batch_stats, *dev
                 )

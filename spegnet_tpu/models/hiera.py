@@ -201,6 +201,12 @@ class Hiera(nn.Module):
     variant: str = "large"
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # rematerialize blocks (training memory vs FLOPs)
+    # Spatial (sequence) parallelism: shard the token-H axis over this mesh
+    # axis.  Hiera's windows are non-overlapping, so windowed attention and
+    # the 2x2 pooling transitions are halo-free under an H-sharding; XLA only
+    # inserts collectives at the global-attention blocks.  The TPU answer to
+    # "sequence scaling" for 1024^2+ inputs (survey §5 long-context row).
+    spatial_axis: Optional[str] = None
 
     @property
     def config(self) -> HieraConfig:
@@ -251,6 +257,20 @@ class Hiera(nn.Module):
         )(x)
         x = x + self._pos_embed(x.shape[1:3])
 
+        def constrain(t):
+            if self.spatial_axis is None:
+                return t
+            from jax.sharding import PartitionSpec as P
+
+            mesh = jax.sharding.get_abstract_mesh()
+            if mesh is None or self.spatial_axis not in getattr(mesh, "axis_names", ()):
+                return t  # no sp mesh in context: run unsharded
+            return jax.lax.with_sharding_constraint(
+                t, P("data", self.spatial_axis, None, None)
+            )
+
+        x = constrain(x)
+
         embed_dim, num_heads = cfg.embed_dim, cfg.num_heads
         cur_stage = 1
         outputs = []
@@ -284,5 +304,6 @@ class Hiera(nn.Module):
             )(x)
             embed_dim = dim_out
             if i in cfg.stage_ends:
+                x = constrain(x)
                 outputs.append(x)
         return outputs

@@ -37,6 +37,7 @@ class SPEGNetConfig:
     n_classes: int = 1
     compute_dtype: str = "float32"
     remat: bool = False
+    spatial_axis: str = None  # mesh axis for sequence/spatial parallelism
 
     @classmethod
     def from_dict(cls, model_config: Dict[str, Any]) -> "SPEGNetConfig":
@@ -45,6 +46,7 @@ class SPEGNetConfig:
             variant=enc.get("variant", "large"),
             compute_dtype=model_config.get("compute_dtype", "float32"),
             remat=model_config.get("remat", False),
+            spatial_axis=model_config.get("spatial_axis"),
         )
 
     @property
@@ -63,7 +65,8 @@ class SPEGNet(nn.Module):
         dtype = cfg.dtype
 
         features = Hiera(
-            variant=cfg.variant, dtype=dtype, remat=cfg.remat, name="encoder"
+            variant=cfg.variant, dtype=dtype, remat=cfg.remat,
+            spatial_axis=cfg.spatial_axis, name="encoder",
         )(x)
         stage2, stage3, stage4 = features[1], features[2], features[3]
 

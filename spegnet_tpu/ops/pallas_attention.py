@@ -33,10 +33,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Maximum sequence length handled fully in VMEM (scores [L, L] f32 = 16 MB at
-# L=2048; we stay well under with 1024... allow 2048 with wins=1).
-_MAX_L = 2048
-_VMEM_BUDGET = 100 * 1024 * 1024  # generous; per-cell usage is checked below
+# Whole-problem-in-VMEM path up to this L (scores [L, L] f32 <= 4 MB).
+_SMALL_L = 1024
+# Q-blocked path (full K/V in VMEM, scores [BQ, L]) up to this L — covers the
+# 1024^2-input global attention (L = 4096).  Beyond: XLA fallback.
+_MAX_L = 8192
+_Q_BLOCKS = (512, 256, 128, 64)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, wins: int):
@@ -62,6 +64,25 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, wins: int):
         return _
 
     jax.lax.fori_loop(0, wins, one, 0, unroll=True)
+
+
+def _qblock_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Long-L path: one Q block vs the full K/V (which fit VMEM at Hiera
+    sizes); the [BQ, L] score tile never leaves VMEM."""
+    q = q_ref[0, :, :]
+    k = k_ref[0, :, :]
+    v = v_ref[0, :, :]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, :, :] = (o * pl.reciprocal(denom, approx=False)).astype(o_ref.dtype)
 
 
 def _pick_wins(n: int, l: int, d: int, itemsize: int) -> int:
@@ -91,21 +112,38 @@ def _fused_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, l, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, l, d)
     n = b * h
-    wins = _pick_wins(n, l, d, q.dtype.itemsize)
-    grid = (n // wins,)
-    spec = pl.BlockSpec((wins, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, wins=wins),
-        out_shape=jax.ShapeDtypeStruct((n, l, d), q.dtype),
-        grid=grid,
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n * l * l * d,
-            bytes_accessed=4 * n * l * d * q.dtype.itemsize,
-            transcendentals=n * l * l,
-        ),
-    )(qt, kt, vt)
+    cost = pl.CostEstimate(
+        flops=4 * n * l * l * d,
+        bytes_accessed=4 * n * l * d * q.dtype.itemsize,
+        transcendentals=n * l * l,
+    )
+    if l <= _SMALL_L:
+        wins = _pick_wins(n, l, d, q.dtype.itemsize)
+        grid = (n // wins,)
+        spec = pl.BlockSpec((wins, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale, wins=wins),
+            out_shape=jax.ShapeDtypeStruct((n, l, d), q.dtype),
+            grid=grid,
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+            cost_estimate=cost,
+        )(qt, kt, vt)
+    else:
+        bq = next(x for x in _Q_BLOCKS if l % x == 0)
+        grid = (n, l // bq)
+        q_spec = pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_qblock_kernel, scale=scale),
+            out_shape=jax.ShapeDtypeStruct((n, l, d), q.dtype),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            cost_estimate=cost,
+        )(qt, kt, vt)
     return out.reshape(b, h, l, d).transpose(0, 2, 1, 3)
 
 
@@ -139,4 +177,6 @@ def is_supported(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
     if q.ndim != 4 or q.shape != k.shape or q.shape != v.shape:
         return False
     _, l, _, d = q.shape
+    if l > _SMALL_L and not any(l % x == 0 for x in _Q_BLOCKS):
+        return False
     return l <= _MAX_L and d <= 256 and l >= 16

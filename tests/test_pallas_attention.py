@@ -31,6 +31,7 @@ def interpret_mode(monkeypatch):
         (4, 64, 2, 72),    # Hiera stage-1 windows
         (2, 256, 8, 72),   # stage-3 windows
         (1, 1024, 8, 72),  # stage-3 global at 512^2
+        (1, 4096, 2, 72),  # stage-3 global at 1024^2 (q-blocked path)
         (3, 16, 4, 32),    # tiny windows
     ],
 )
