@@ -255,6 +255,44 @@ def train_loader(
     return iter(_Prefetcher(gen, prefetch))
 
 
+@dataclasses.dataclass
+class ValBatch(TrainBatch):
+    """TrainBatch + EDT maps: validation computes the weighted F-measure."""
+
+    dst: np.ndarray = None
+    nearest_idx: np.ndarray = None
+
+
+def val_loader(
+    dataset: CODDataset,
+    processor: ImageProcessor,
+    batch_size: int,
+    buckets: Sequence[int],
+    num_workers: int = 4,
+    prefetch: int = 2,
+) -> Iterator[ValBatch]:
+    """Validation batches: train-style (images+masks+edges) plus per-sample
+    EDT maps for the on-device weighted F-measure."""
+    from spegnet_tpu.metrics.jax_metrics import edt_for_canvas
+
+    executor = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+
+    def gen():
+        for i in range(0, len(dataset), batch_size):
+            chunk = dataset.samples[i: i + batch_size]
+            tb = _make_train_batch(chunk, processor, buckets, executor)
+            hc, wc = tb.masks.shape[1:3]
+            dst = np.zeros_like(tb.masks)
+            idx = np.zeros(tb.masks.shape, np.int32)
+            for j in range(tb.masks.shape[0]):
+                h, w = tb.mask_hw[j]
+                dst[j], idx[j] = edt_for_canvas(tb.masks[j, :h, :w], (hc, wc))
+            fields = {f.name: getattr(tb, f.name) for f in dataclasses.fields(tb)}
+            yield ValBatch(**fields, dst=dst, nearest_idx=idx)
+
+    return iter(_Prefetcher(gen, prefetch))
+
+
 def eval_loader(
     dataset: CODDataset,
     processor: ImageProcessor,

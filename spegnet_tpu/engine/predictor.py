@@ -106,9 +106,11 @@ class Predictor:
             )
 
         self._forward = forward
-        # Warm-up (pays compilation, reference: predictor.py:283-289).
+        # Warm-up (pays compilation, reference: predictor.py:283-289) for both
+        # the single-image and batched shapes.
         s = self.target_size
-        w = self._forward(self.variables, jnp.zeros((1, s, s, 3), jnp.float32))
+        for b in {1, self.batch_size}:
+            w = self._forward(self.variables, jnp.zeros((b, s, s, 3), jnp.float32))
         jax.block_until_ready(w)
 
     def preprocess_image(self, image_path: str) -> np.ndarray:
@@ -138,13 +140,34 @@ class Predictor:
 
     def predict_batch(self, image_paths: List[str],
                       output_size: Optional[Tuple[int, int]] = None) -> Dict:
+        """True batched inference: one jitted forward per `batch_size` chunk
+        (the reference's batch mode still runs images one at a time —
+        reference: predictor.py:376-429)."""
         self.result_manager.log_message(
             f"Starting batch prediction of {len(image_paths)} images "
             f"with batch size {self.batch_size}"
         )
-        for path in image_paths:
-            seg, edge, original = self.predict_single(path, output_size)
-            self.result_manager.save_prediction(Path(path).name, seg, edge, original)
+        for i in range(0, len(image_paths), self.batch_size):
+            chunk = image_paths[i: i + self.batch_size]
+            t0 = time.time()
+            images = np.stack([self.processor.process_image(p) for p in chunk])
+            if len(chunk) < self.batch_size:  # pad the tail: one compiled shape
+                pad = self.batch_size - len(chunk)
+                images = np.concatenate([images, np.repeat(images[:1], pad, 0)])
+            self.result_manager.update_timing("preprocessing", time.time() - t0)
+            t0 = time.time()
+            seg, edge = self._forward(self.variables, jnp.asarray(images))
+            seg, edge = np.asarray(seg), np.asarray(edge)
+            self.result_manager.update_timing("inference", time.time() - t0)
+            t0 = time.time()
+            for j, path in enumerate(chunk):
+                s, e = seg[j], edge[j]
+                if output_size:
+                    s = np.asarray(resize_bilinear(jnp.asarray(s), tuple(output_size)))
+                    e = np.asarray(resize_bilinear(jnp.asarray(e), tuple(output_size)))
+                original = self.processor.load_original(path)
+                self.result_manager.save_prediction(Path(path).name, s, e, original)
+            self.result_manager.update_timing("postprocessing", time.time() - t0)
         return self.result_manager.summarize()
 
     def predict_directory(self, input_dir: str,

@@ -480,33 +480,12 @@ class Trainer:
         self.trace.close()
 
     def _val_loader(self, val_ds, num_workers):
-        """Validation batches: train-style + EDT maps for the weighted F."""
-        from spegnet_tpu.data.pipeline import _Prefetcher, _make_train_batch
-        from spegnet_tpu.metrics.jax_metrics import edt_for_canvas
-        from concurrent.futures import ThreadPoolExecutor
-        import dataclasses as dc
+        from spegnet_tpu.data.pipeline import val_loader
 
-        executor = ThreadPoolExecutor(num_workers) if num_workers else None
-
-        @dc.dataclass
-        class ValBatch(TrainBatch):
-            dst: np.ndarray = None
-            nearest_idx: np.ndarray = None
-
-        def gen():
-            for i in range(0, len(val_ds), self.batch_size):
-                chunk = val_ds.samples[i: i + self.batch_size]
-                tb = _make_train_batch(chunk, self.processor, self.buckets, executor)
-                hc, wc = tb.masks.shape[1:3]
-                dst = np.zeros_like(tb.masks)
-                idx = np.zeros(tb.masks.shape, np.int32)
-                for j in range(tb.masks.shape[0]):
-                    h, w = tb.mask_hw[j]
-                    dst[j], idx[j] = edt_for_canvas(tb.masks[j, :h, :w], (hc, wc))
-                fields = {f.name: getattr(tb, f.name) for f in dc.fields(tb)}
-                yield ValBatch(**fields, dst=dst, nearest_idx=idx)
-
-        return iter(_Prefetcher(gen, 2))
+        return val_loader(
+            val_ds, self.processor, self.batch_size, self.buckets,
+            num_workers=num_workers,
+        )
 
     # ------------------------------------------------------------------
     # Checkpointing (orbax) + resume

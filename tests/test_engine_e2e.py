@@ -179,6 +179,7 @@ def test_predictor_outputs(trained, synthetic_dataset):
     pdm = DirectoryManager("predict", base_dir=str(out / "pred"))
     pred = Predictor(
         model_path=str(ckpt), model_config=config["model"], dir_manager=pdm,
+        batch_size=2,  # exercises true batched inference + tail padding (3 imgs)
     )
     summary = pred.predict_directory(str(synthetic_dataset / "test" / "Imgs"))
     assert summary["total_predictions"] == 3
