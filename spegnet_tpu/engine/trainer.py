@@ -28,7 +28,7 @@ import logging
 import time
 from collections import defaultdict
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -439,6 +439,14 @@ class Trainer:
         return self.monitor.get_current_stats()
 
     def train(self, dataset_dirs: List[str]):
+        try:
+            self._train(dataset_dirs)
+        except Exception as e:
+            # Engine-boundary failure logging (reference: trainer.py:584-586).
+            logger.error(f"Training error: {e}", exc_info=True)
+            raise
+
+    def _train(self, dataset_dirs: List[str]):
         dataset = concat_train_datasets(dataset_dirs)
         train_ds, val_ds = train_val_split(dataset, self.config.get("val_ratio", 0.1))
         logger.info(f"Training samples: {len(train_ds)}")

@@ -30,7 +30,7 @@ Feature pyramid out: [H/4 x C1, H/8 x C2, H/16 x C3, H/32 x C4]
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
