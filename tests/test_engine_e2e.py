@@ -187,3 +187,10 @@ def test_predictor_outputs(trained, synthetic_dataset):
         assert len(list((pdm.run_dirs.visualizations / "segmentation" / sub).glob("*.png"))) == 3
         assert len(list((pdm.run_dirs.visualizations / "edges" / sub).glob("*.png"))) == 3
     assert (pdm.run_dirs.root / "prediction_summary.json").exists()
+
+    # output_size path (config prediction.output_size, reference:
+    # predictor.py:350-364): predictions resized to the requested shape.
+    img = next((synthetic_dataset / "test" / "Imgs").glob("*.jpg"))
+    seg, edge, original = pred.predict_single(str(img), output_size=(40, 52))
+    assert seg.shape == (40, 52) and edge.shape == (40, 52)
+    assert 0.0 <= float(seg.min()) and float(seg.max()) <= 1.0
