@@ -76,6 +76,8 @@ def evaluate(config: Dict, model_path: Path, dir_manager: DirectoryManager) -> N
     logging.info("Starting evaluation...")
     dataset_paths = config["evaluation"]["datasets"]
     datasets = get_test_datasets(dataset_paths)
+    from spegnet_tpu.parallel.mesh import mesh_from_config
+
     evaluator = Evaluator(
         model_path=str(model_path),
         dir_manager=dir_manager,
@@ -84,6 +86,7 @@ def evaluate(config: Dict, model_path: Path, dir_manager: DirectoryManager) -> N
         save_visualizations=config["evaluation"].get("save_visualizations", True),
         canvas_buckets=config["training"].get("canvas_buckets",
                                               (512, 1024, 1536, 2048)),
+        mesh=mesh_from_config(config.get("parallel")),
     )
     all_metrics = {}
     for name, dataset in datasets.items():

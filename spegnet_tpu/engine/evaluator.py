@@ -100,14 +100,33 @@ class ResultManager:
 class Evaluator:
     def __init__(self, model_path: str, dir_manager, model_config: Dict,
                  batch_size: int, save_visualizations: bool = True,
-                 canvas_buckets=(512, 640, 768, 896, 1024, 1280, 1536, 2048)):
+                 canvas_buckets=(512, 640, 768, 896, 1024, 1280, 1536, 2048),
+                 mesh=None):
+        """``mesh``: optional jax Mesh with a 'data' axis — evaluation batches
+        are sharded over it (the reference's eval batch 48 spreads over all
+        chips; reference: engine/evaluator.py:395-468).  Eval batches are
+        always padded to `batch_size` with a sample_mask, so only
+        batch_size % data == 0 is required (auto-rounded up here)."""
         self.model_config = model_config
         self.batch_size = batch_size
         self.save_visualizations = save_visualizations
         self.buckets = tuple(canvas_buckets)
+        self.mesh = mesh
+        if mesh is not None:
+            data = int(mesh.shape.get("data", 1))
+            if self.batch_size % data:
+                self.batch_size = -(-self.batch_size // data) * data
+                logger.info(
+                    f"Eval batch size rounded up to {self.batch_size} "
+                    f"(multiple of data axis {data})"
+                )
 
         self.model = SPEGNet(SPEGNetConfig.from_dict(model_config))
         self.variables, _ = load_model_variables(model_path)
+        if mesh is not None:
+            from spegnet_tpu.parallel.sharding import replicated
+
+            self.variables = jax.device_put(self.variables, replicated(mesh))
         logger.info(f"Model loaded from: {model_path}")
 
         img_cfg = model_config.get("image_processing", {})
@@ -118,6 +137,11 @@ class Evaluator:
 
         self.result_manager = ResultManager(dir_manager)
         self.timing_stats = {"inference_times": [], "processing_times": [], "total_time": 0}
+        # Canvas shapes whose XLA compile has already been paid; the first
+        # batch of each *new* canvas shape is excluded from inference_times so
+        # avg_inference_time measures inference, not compilation (the stated
+        # purpose of the reference's 3-pass warm-up, evaluator.py:355-363).
+        self._seen_canvases = set()
         self._eval_step = jax.jit(self._make_eval_step())
         self._warmup()
 
@@ -150,18 +174,37 @@ class Evaluator:
 
         return step
 
+    def _mesh_scope(self):
+        import contextlib
+
+        return jax.set_mesh(self.mesh) if self.mesh is not None \
+            else contextlib.nullcontext()
+
+    def _put(self, arrays):
+        """Host arrays -> device, sharded over the mesh's 'data' axis."""
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from spegnet_tpu.parallel.sharding import shard_batch
+
+        return shard_batch(tuple(np.asarray(a) for a in arrays), self.mesh)
+
     def _warmup(self):
         """3 warm-up passes (reference: evaluator.py:355-363) — here they also
         pay the XLA compile for the standard 512-canvas shape."""
         s = self.target_size
-        dummy_img = jnp.zeros((self.batch_size, s, s, 3), jnp.float32)
-        dummy_mask = jnp.zeros((self.batch_size, s, s), jnp.float32)
-        hw = jnp.full((self.batch_size, 2), s, jnp.int32)
-        dst = jnp.zeros((self.batch_size, s, s), jnp.float32)
-        idx = jnp.zeros((self.batch_size, s, s), jnp.int32)
-        for _ in range(3):
-            out = self._eval_step(self.variables, dummy_img, dummy_mask, hw, dst, idx)
+        b = self.batch_size
+        dev = self._put((
+            np.zeros((b, s, s, 3), np.float32),
+            np.zeros((b, s, s), np.float32),
+            np.full((b, 2), s, np.int32),
+            np.zeros((b, s, s), np.float32),
+            np.zeros((b, s, s), np.int32),
+        ))
+        with self._mesh_scope():
+            for _ in range(3):
+                out = self._eval_step(self.variables, *dev)
         jax.block_until_ready(out)
+        self._seen_canvases.add((s, s))
 
     def _denormalize(self, image: np.ndarray) -> np.ndarray:
         return np.clip((image * self.std + self.mean) * 255.0, 0, 255).astype(np.uint8)
@@ -181,14 +224,18 @@ class Evaluator:
         for batch in loader:
             batch_start = time.time()
             t0 = time.time()
-            seg_metrics, pred_c, edge_c, stage_preds = self._eval_step(
-                self.variables,
-                jnp.asarray(batch.images), jnp.asarray(batch.masks),
-                jnp.asarray(batch.mask_hw), jnp.asarray(batch.dst),
-                jnp.asarray(batch.nearest_idx),
-            )
+            dev = self._put((batch.images, batch.masks, batch.mask_hw,
+                             batch.dst, batch.nearest_idx))
+            with self._mesh_scope():
+                seg_metrics, pred_c, edge_c, stage_preds = self._eval_step(
+                    self.variables, *dev
+                )
             seg_metrics = {k: np.asarray(v) for k, v in seg_metrics.items()}
-            self.timing_stats["inference_times"].append(time.time() - t0)
+            canvas = tuple(batch.masks.shape[1:3])
+            if canvas in self._seen_canvases:
+                self.timing_stats["inference_times"].append(time.time() - t0)
+            else:  # first batch of a new canvas shape pays the XLA compile
+                self._seen_canvases.add(canvas)
             if self.save_visualizations:
                 pred_c = np.asarray(pred_c)
                 edge_c = np.asarray(edge_c)
@@ -229,7 +276,9 @@ class Evaluator:
                       counts: Dict[str, int]):
         timing = {
             "total_time": self.timing_stats["total_time"],
-            "avg_inference_time": float(np.mean(self.timing_stats["inference_times"])),
+            "avg_inference_time": float(
+                np.mean(self.timing_stats["inference_times"])
+            ) if self.timing_stats["inference_times"] else 0.0,
             "avg_processing_time": float(np.mean(self.timing_stats["processing_times"])),
             "total_samples": self.timing_stats["total_samples"],
         }

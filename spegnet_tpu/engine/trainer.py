@@ -332,10 +332,10 @@ class Trainer:
             return new_params, new_bs, new_opt, ld
 
         def val_step(params, batch_stats, images, masks, edges, mask_hw, edge_hw,
-                     dst, nearest_idx):
+                     dst, nearest_idx, sample_w):
             out = model.apply({"params": params, "batch_stats": batch_stats}, images)
             ld = cod_loss(out["predictions"], out["edge"], masks, edges,
-                          mask_hw, edge_hw, loss_cfg)
+                          mask_hw, edge_hw, loss_cfg, sample_w)
             canvas = masks.shape[1:3]
             final = out["predictions"][-1].astype(jnp.float32)
             pred_c, valid = resize_logits_to_canvas(final, mask_hw, canvas)
@@ -357,14 +357,18 @@ class Trainer:
     # Loops
     # ------------------------------------------------------------------
 
-    def _pad_batch(self, batch: TrainBatch) -> Tuple[TrainBatch, np.ndarray]:
+    def _pad_batch(self, batch) -> Tuple[Any, np.ndarray]:
         """Pad the tail batch to a multiple of the data axis; weight pads 0.
 
-        The loss excludes padding rows exactly (weighted mean), but train-mode
-        BatchNorm statistics still see the duplicated rows — a small, bounded
-        deviation affecting at most one batch per epoch, only when
+        Works on any batch dataclass (TrainBatch and ValBatch) by repeating
+        row 0 of every array field.  The loss and metric means exclude padding
+        rows exactly (weighted/masked mean), but train-mode BatchNorm
+        statistics still see the duplicated rows — a small, bounded deviation
+        affecting at most one batch per epoch, only when
         batch_size % data_axis != 0.
         """
+        import dataclasses as _dc
+
         b = batch.images.shape[0]
         target = -(-b // self.data_axis) * self.data_axis
         w = np.ones((target,), np.float32)
@@ -372,8 +376,12 @@ class Trainer:
             return batch, w
         w[b:] = 0.0
         pad = lambda a: np.concatenate([a, np.repeat(a[:1], target - b, axis=0)])
-        return TrainBatch(*[pad(getattr(batch, f)) for f in
-                            ("images", "masks", "edges", "mask_hw", "edge_hw")]), w
+        fields = {
+            f.name: (pad(v) if isinstance(v := getattr(batch, f.name), np.ndarray)
+                     else v)
+            for f in _dc.fields(batch)
+        }
+        return type(batch)(**fields), w
 
     def _process_train_batch(self, batch: TrainBatch) -> Tuple[Dict, Dict]:
         timing = {}
@@ -414,26 +422,35 @@ class Trainer:
         for batch in loader:
             t0 = time.time()
             b = batch.images.shape[0]
+            # Pad the tail to a multiple of the data axis (device_put with a
+            # 'data' sharding requires divisible leading dims); the loss is
+            # sample-weighted and the metric means mask the padding rows.
+            batch, sample_w = self._pad_batch(batch)
             dev = shard_batch(
                 (batch.images, batch.masks, batch.edges, batch.mask_hw,
-                 batch.edge_hw, batch.dst, batch.nearest_idx),
+                 batch.edge_hw, batch.dst, batch.nearest_idx, sample_w),
                 self.mesh,
             )
             with jax.set_mesh(self.mesh):
                 ld, seg, edge_m = self._val_step(
                     self.params, self.batch_stats, *dev
                 )
+            real = np.asarray(sample_w) > 0.0
+
+            def masked_mean(v) -> float:
+                return float(np.asarray(v)[real].mean())
+
             metrics = {
                 "loss": float(ld["loss"]),
                 "seg_loss": float(ld["seg_loss"]),
                 "edge_loss": float(ld["edge_loss"]),
-                "s_alpha": float(jnp.mean(seg["sm"])),
-                "weighted_f": float(jnp.mean(seg["wfm"])),
-                "mae": float(jnp.mean(seg["mae"])),
-                "e_phi": float(jnp.mean(seg["em"])),
-                "mean_f": float(jnp.mean(seg["fm"])),
-                "edge_mae": float(jnp.mean(edge_m["mae"])),
-                "edge_f": float(jnp.mean(edge_m["fm"])),
+                "s_alpha": masked_mean(seg["sm"]),
+                "weighted_f": masked_mean(seg["wfm"]),
+                "mae": masked_mean(seg["mae"]),
+                "e_phi": masked_mean(seg["em"]),
+                "mean_f": masked_mean(seg["fm"]),
+                "edge_mae": masked_mean(edge_m["mae"]),
+                "edge_f": masked_mean(edge_m["fm"]),
             }
             self.monitor.update_batch(metrics, {"batch_time": time.time() - t0}, b)
         return self.monitor.get_current_stats()

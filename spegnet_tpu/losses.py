@@ -50,15 +50,17 @@ class LossConfig:
 
     @classmethod
     def from_dict(cls, d: Dict) -> "LossConfig":
-        return cls(
-            scale_weights=tuple(d.get("scale_weights", (0.2, 0.3, 0.5))),
-            boundary_weight=d.get("boundary_weight", 5.0),
-            bce_weight=d.get("bce_weight", 0.4),
-            iou_weight=d.get("iou_weight", 0.6),
-            edge_weight=d.get("edge_weight", 0.75),
-            edge_focal_alpha=d.get("edge_focal_alpha", 0.75),
-            edge_focal_gamma=d.get("edge_focal_gamma", 2.0),
-        )
+        """Missing keys fall back to the dataclass field defaults (the shipped
+        YAML values), so a config without a loss section trains identically to
+        `LossConfig()` and to configs/default.yaml.  (The reference *code*
+        defaults — boundary 5.0, bce 0.4, iou 0.6 — are always overridden by
+        its shipped YAML in practice; see survey §2.2.9.)"""
+        kwargs = {
+            f.name: d[f.name] for f in dataclasses.fields(cls) if f.name in d
+        }
+        if "scale_weights" in kwargs:
+            kwargs["scale_weights"] = tuple(kwargs["scale_weights"])
+        return cls(**kwargs)
 
 
 def _box_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -114,6 +114,17 @@ def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
+def compute_pos_embed(bkg: jnp.ndarray, win: jnp.ndarray,
+                      hw: Tuple[int, int]) -> jnp.ndarray:
+    """Absolute position embedding: bicubic-resized background [Hb, Wb, C] +
+    tiled window embed [ws, ws, C] -> [h, w, C].  Pure function (testable
+    standalone); SAM2 Hiera `_get_pos_embed` semantics."""
+    h, w = hw
+    pe = resize_bicubic(bkg, (h, w))
+    tiles = (h // win.shape[0], w // win.shape[1], 1)
+    return pe + jnp.tile(win, tiles)
+
+
 class MultiScaleAttention(nn.Module):
     """Attention with optional 2x2 max-pool Q-pooling (stage transitions)."""
 
@@ -240,10 +251,7 @@ class Hiera(nn.Module):
             nn.initializers.zeros,
             (cfg.window_spec[0], cfg.window_spec[0], cfg.embed_dim),
         )
-        pe = resize_bicubic(bkg, (h, w))
-        tiles = (h // win.shape[0], w // win.shape[1], 1)
-        pe = pe + jnp.tile(win, tiles)
-        return pe.astype(self.dtype)
+        return compute_pos_embed(bkg, win, (h, w)).astype(self.dtype)
 
     @nn.compact
     def __call__(self, x):

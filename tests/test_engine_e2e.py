@@ -171,6 +171,35 @@ def test_evaluator_outputs(trained, synthetic_dataset):
     assert len(pngs) >= 3 * 3  # at least binary+heatmap+overlay per sample
 
 
+def test_evaluator_sharded_matches_single(trained, synthetic_dataset):
+    """Eval sharded over an 8-way 'data' mesh == single-device eval.
+
+    The evaluator pads every batch to batch_size with a sample_mask, so the
+    only requirement is batch_size % data == 0 (auto-rounded); per-sample
+    metric rows must be unaffected by the sharding."""
+    from spegnet_tpu.engine.evaluator import Evaluator
+    from spegnet_tpu.parallel.mesh import create_mesh
+
+    trainer, dm, config, out = trained
+    ckpt = sorted(dm.run_dirs.checkpoints.glob("checkpoint_*"))[-1]
+    datasets = get_test_datasets([str(synthetic_dataset)])
+
+    def run(mesh, sub):
+        edm = DirectoryManager("evaluate", base_dir=str(out / sub))
+        ev = Evaluator(
+            model_path=str(ckpt), dir_manager=edm, model_config=config["model"],
+            batch_size=4, save_visualizations=False, canvas_buckets=(64, 128),
+            mesh=mesh,
+        )
+        return ev.evaluate(datasets["SYNTH"], "SYNTH")
+
+    m_single = run(None, "eval_single")
+    m_shard = run(create_mesh({"data": 8}), "eval_shard")
+    for k in m_single:
+        np.testing.assert_allclose(m_single[k], m_shard[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+
+
 def test_predictor_outputs(trained, synthetic_dataset):
     from spegnet_tpu.engine.predictor import Predictor
 

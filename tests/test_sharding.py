@@ -124,3 +124,42 @@ def test_padded_tail_batch(rng, tmp_path):
     loss_8, _ = _run_one_step({"data": 8}, full, tmp_path / "b")
     assert np.isfinite(loss_8)
     assert abs(loss_1 - loss_8) < 0.1 * max(abs(loss_1), 1.0)
+
+
+def _make_val_batch(rng, batch=5, size=64):
+    import dataclasses
+
+    from spegnet_tpu.data.pipeline import ValBatch
+    from spegnet_tpu.metrics.jax_metrics import edt_for_canvas
+
+    tb = _make_batch(rng, batch=batch, size=size)
+    dst = np.zeros_like(tb.masks)
+    idx = np.zeros(tb.masks.shape, np.int32)
+    for j in range(batch):
+        dst[j], idx[j] = edt_for_canvas(tb.masks[j], (size, size))
+    fields = {f.name: getattr(tb, f.name) for f in dataclasses.fields(tb)}
+    return ValBatch(**fields, dst=dst, nearest_idx=idx)
+
+
+def test_validate_padded_tail_dp(rng, tmp_path):
+    """Validation with batch 5 on a data=8 mesh: must pad (device_put with a
+    'data' sharding rejects non-divisible leading dims) and the masked metric
+    means must equal the single-device result exactly (eval-mode BN: padding
+    rows cannot influence real rows)."""
+    from spegnet_tpu.engine.trainer import Trainer
+    from spegnet_tpu.utils.run_manager import DirectoryManager
+
+    vb = _make_val_batch(rng)
+
+    def run(mesh_spec, sub):
+        dm = DirectoryManager("train", base_dir=str(tmp_path / sub))
+        mesh = create_mesh(mesh_spec)
+        trainer = Trainer(_tiny_config(mesh_spec), dm, mesh=mesh)
+        return trainer.validate([vb], 0)
+
+    m1 = run({"data": 1}, "a")
+    m8 = run({"data": 8}, "b")
+    for k in ("loss", "seg_loss", "edge_loss", "s_alpha", "weighted_f",
+              "mae", "e_phi", "mean_f", "edge_mae", "edge_f"):
+        np.testing.assert_allclose(m1[k], m8[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
