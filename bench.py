@@ -112,12 +112,40 @@ def bench_train(batch: int = 8, size: int = 512, steps: int = 3):
     )
     with tempfile.TemporaryDirectory() as tmp:
         trainer = Trainer(config, DirectoryManager("train", base_dir=tmp))
-        trainer._process_train_batch(tb)  # compile + warm (loss readback syncs)
+        # Two warm-up steps: the first compiles; the second recompiles with
+        # the donated-buffer layouts (observed ~60 s through the remote
+        # compile helper) — only then is the step steady-state.
+        trainer._process_train_batch(tb)
+        trainer._process_train_batch(tb)
         t0 = time.time()
         for _ in range(steps):
             trainer._process_train_batch(tb)
         dt = time.time() - t0
     return steps * batch / dt, dt / steps
+
+
+def attention_parity_check() -> float:
+    """On-chip parity of the fused lane-padded attention vs the XLA reference
+    (same process, same device — the only comparable A/B per CLAUDE.md).
+    Returns the max |fused - reference| in f32 at the stage-3 shape; the
+    driver-visible JSON carries it so a silently-broken kernel can't bench
+    green.  (Round-1 verdict weak #6.)"""
+    import numpy as np
+
+    from spegnet_tpu.ops.pallas_attention import (
+        _lanes_reference,
+        fused_attention_lanes,
+    )
+
+    b, l, h, d, hp = 4, 1024, 8, 72, 128
+    rng = np.random.default_rng(0)
+    qkv = np.zeros((b, l, 3, h, hp), np.float32)
+    qkv[..., :d] = rng.standard_normal((b, l, 3, h, d))
+    qkv_p = jnp.asarray(qkv.reshape(b, l, 3 * h * hp), jnp.bfloat16)
+    scale = d ** -0.5
+    fused = fused_attention_lanes(qkv_p, h, scale).astype(jnp.float32)
+    ref = _lanes_reference(qkv_p, h, scale).astype(jnp.float32)
+    return float(jnp.max(jnp.abs(fused - ref)))
 
 
 def main():
@@ -140,6 +168,13 @@ def main():
         if ips > best:
             best, best_batch = ips, batch
 
+    try:
+        attn_err = attention_parity_check()
+        print(f"attention parity maxerr: {attn_err:.2e}", file=sys.stderr)
+    except Exception as e:
+        attn_err = None
+        print(f"attention parity check failed: {e}", file=sys.stderr)
+
     train_ips = train_step_s = None
     try:
         train_ips, train_step_s = bench_train()
@@ -159,6 +194,7 @@ def main():
         "train_img_per_sec": round(train_ips, 2) if train_ips else None,
         "train_step_ms": round(train_step_s * 1000.0, 1) if train_step_s else None,
         "train_vs_target": round(train_ips / 400.0, 4) if train_ips else None,
+        "attn_parity_maxerr": attn_err if attn_err is None else round(attn_err, 6),
     }
     print(json.dumps(result))
 

@@ -221,7 +221,12 @@ class Evaluator:
             with_originals=self.save_visualizations,
         )
 
-        for batch in loader:
+        from tqdm import tqdm
+
+        # Live progress with running metric postfix (ref: evaluator.py:442-454).
+        pbar = tqdm(loader, desc=f"Evaluating {dataset_name}", unit="batch",
+                    leave=False, mininterval=1.0)
+        for batch in pbar:
             batch_start = time.time()
             t0 = time.time()
             dev = self._put((batch.images, batch.masks, batch.mask_hw,
@@ -265,6 +270,13 @@ class Evaluator:
                     category = ResultManager.determine_quality_category(sample_metrics)
                 counts[category] += 1
             self.timing_stats["processing_times"].append(time.time() - batch_start)
+            if n_samples:
+                pbar.set_postfix(
+                    Sa=f"{totals['s_alpha'] / n_samples:.4f}",
+                    wF=f"{totals['weighted_f'] / n_samples:.4f}",
+                    MAE=f"{totals['mae'] / n_samples:.4f}",
+                    refresh=False,
+                )
 
         avg = {k: v / max(n_samples, 1) for k, v in totals.items()}
         self.timing_stats["total_time"] = time.time() - eval_start

@@ -405,10 +405,21 @@ class Trainer:
         return metrics, timing
 
     def train_epoch(self, loader, epoch: int) -> Dict[str, float]:
+        from tqdm import tqdm
+
         self.monitor.start_epoch()
-        for i, batch in enumerate(loader):
+        # Live progress with a metric postfix (reference: trainer.py:459-477).
+        pbar = tqdm(loader, desc=f"Epoch {epoch + 1}/{self.num_epochs}",
+                    unit="batch", leave=False, mininterval=1.0)
+        for i, batch in enumerate(pbar):
             metrics, timing = self._process_train_batch(batch)
             self.monitor.update_batch(metrics, timing, batch.images.shape[0])
+            pbar.set_postfix(
+                loss=f"{metrics['loss']:.4f}",
+                seg=f"{metrics['seg_loss']:.4f}",
+                edge=f"{metrics['edge_loss']:.4f}",
+                refresh=False,
+            )
             if i % 10 == 0:
                 logger.info(
                     f"Epoch {epoch + 1}/{self.num_epochs} step {i}: "
@@ -418,8 +429,12 @@ class Trainer:
         return self.monitor.get_current_stats()
 
     def validate(self, loader, epoch: int) -> Dict[str, float]:
+        from tqdm import tqdm
+
         self.monitor.start_epoch()
-        for batch in loader:
+        pbar = tqdm(loader, desc="Validation", unit="batch", leave=False,
+                    mininterval=1.0)
+        for batch in pbar:
             t0 = time.time()
             b = batch.images.shape[0]
             # Pad the tail to a multiple of the data axis (device_put with a
@@ -453,6 +468,13 @@ class Trainer:
                 "edge_f": masked_mean(edge_m["fm"]),
             }
             self.monitor.update_batch(metrics, {"batch_time": time.time() - t0}, b)
+            stats = self.monitor.get_current_stats()
+            pbar.set_postfix(
+                wF=f"{stats.get('weighted_f', 0):.4f}",
+                Sa=f"{stats.get('s_alpha', 0):.4f}",
+                MAE=f"{stats.get('mae', 0):.4f}",
+                refresh=False,
+            )
         return self.monitor.get_current_stats()
 
     def train(self, dataset_dirs: List[str]):

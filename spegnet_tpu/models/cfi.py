@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from spegnet_tpu.ops.resize import resize_bilinear
@@ -50,6 +51,40 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+class _Grouped1x1(nn.Module):
+    """Grouped 1x1 conv lowered to ONE dense MXU matmul with a block-diagonal
+    weight (zeros outside each group's input slice) — numerically identical to
+    PyTorch grouped-conv semantics but ~35x faster than XLA's
+    feature_group_count lowering at e-ASPP's groups=128 (5.0 ms -> 0.14 ms at
+    batch 16, measured on v5e).  The parameter keeps nn.Conv's exact name and
+    [1, 1, cin/groups, cout] shape, so checkpoints and the torch importer are
+    unaffected."""
+
+    features: int
+    groups: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        per = cin // self.groups
+        cpg = self.features // self.groups
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (1, 1, per, self.features), jnp.float32,
+        )
+        k2 = kernel[0, 0].astype(self.dtype)                      # [per, cout]
+        group_of_o = jnp.arange(self.features) // max(cpg, 1)      # [cout]
+        onehot = jax.nn.one_hot(group_of_o, self.groups, dtype=self.dtype)
+        # W[g*per + j, o] = k2[j, o] iff output o belongs to group g.
+        w = jnp.einsum("po,og->gpo", k2, onehot).reshape(cin, self.features)
+        return jax.lax.dot_general(
+            x.astype(self.dtype), w,
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+
+
 class ConvBNReLU(nn.Module):
     """Conv2d(bias=False) + BN + ReLU, NHWC."""
 
@@ -61,17 +96,20 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = self.dilation * (self.kernel // 2)
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            padding=[(pad, pad), (pad, pad)],
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.groups,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.kernel == 1 and self.groups > 1:
+            x = _Grouped1x1(self.features, self.groups, self.dtype, name="conv")(x)
+        else:
+            pad = self.dilation * (self.kernel // 2)
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                padding=[(pad, pad), (pad, pad)],
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.groups,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn",

@@ -161,6 +161,175 @@ def _bwd(res, g):
 fused_attention.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# Lane-padded zero-copy path
+# ---------------------------------------------------------------------------
+#
+# The classic [B, L, H, D] entry costs three strided slice copies plus
+# problem-major transposes in XLA before the kernel can run — measured at
+# ~3 ms per windowed Hiera block at batch 16 (more than the attention math).
+# This path removes ALL of it:
+#
+#   * the qkv projection's weight columns are reordered/zero-padded so its
+#     output is [B, L, 3*H*HP] with HP = ceil(D/128)*128 lanes per head —
+#     each (q|k|v, head) occupies its own 128-aligned lane block;
+#   * the kernel's BlockSpecs index lane blocks directly (grid over heads),
+#     so q/k/v are DMA'd straight out of the matmul's natural output layout —
+#     no XLA transpose, slice, or copy anywhere;
+#   * zero lanes are numerically inert in both matmuls (0-contributions), and
+#     the output projection absorbs the padded layout with zero *rows* built
+#     from the canonical [C, C] weight, so downstream is also copy-free.
+#
+# The MXU was already padding D=72 to 128 internally; making the padding
+# explicit costs nothing on the attention matmuls and ~1.8x on the (small)
+# qkv matmul, while deleting the dominant layout traffic.
+
+
+def lanes_supported(l: int, head_dim: int) -> bool:
+    """Static dispatch test for the lane-padded kernel (L = tokens/window)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if l <= _SMALL_L:
+        return l >= 16
+    return l <= _MAX_L and any(l % x == 0 for x in _Q_BLOCKS)
+
+
+def _lanes_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, wins: int):
+    def one(w, _):
+        q = q_ref[w]
+        k = k_ref[w]
+        v = v_ref[w]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[w] = (o * pl.reciprocal(denom, approx=False)).astype(o_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, wins, one, 0, unroll=True)
+
+
+def _lanes_qblock_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o * pl.reciprocal(denom, approx=False)).astype(o_ref.dtype)
+
+
+def _pick_wins_lanes(n: int, l: int, hp: int, itemsize: int) -> int:
+    per = 4 * l * hp * itemsize * 2 + l * max(l, 128) * 4
+    budget = 12 * 1024 * 1024
+    cap = max(1, budget // per)
+    target = max(1, min(cap, 4096 // max(l, 64)))
+    for w in range(min(target, n), 0, -1):
+        if n % w == 0:
+            return w
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_attention_lanes(qkv_p: jax.Array, heads: int, scale: float) -> jax.Array:
+    """qkv_p: [B, L, 3*H*HP] lane-padded packed projections (layout: q-heads,
+    then k-heads, then v-heads, each head one HP-lane block).  Returns
+    [B, L, H*HP]; padded lanes of the output carry PV garbage*0 = zeros only
+    where v's pad lanes are zero, which the padded proj weight ignores."""
+    return _lanes_forward(qkv_p, heads, scale)
+
+
+def _lanes_forward(qkv_p: jax.Array, heads: int, scale: float) -> jax.Array:
+    b, l, c3 = qkv_p.shape
+    hp = c3 // (3 * heads)
+    cost = pl.CostEstimate(
+        flops=4 * b * heads * l * l * hp,
+        bytes_accessed=(3 + 1) * b * l * heads * hp * qkv_p.dtype.itemsize,
+        transcendentals=b * heads * l * l,
+    )
+    if l <= _SMALL_L:
+        wins = _pick_wins_lanes(b, l, hp, qkv_p.dtype.itemsize)
+        grid = (b // wins, heads)
+
+        def in_spec(j):
+            return pl.BlockSpec((wins, l, hp),
+                                lambda i, h, j=j: (i, 0, j * heads + h),
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            functools.partial(_lanes_kernel, scale=scale, wins=wins),
+            out_shape=jax.ShapeDtypeStruct((b, l, heads * hp), qkv_p.dtype),
+            grid=grid,
+            in_specs=[in_spec(0), in_spec(1), in_spec(2)],
+            out_specs=pl.BlockSpec((wins, l, hp), lambda i, h: (i, 0, h),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            cost_estimate=cost,
+        )(qkv_p, qkv_p, qkv_p)
+    else:
+        bq = next(x for x in _Q_BLOCKS if l % x == 0)
+        grid = (b, heads, l // bq)
+        q_spec = pl.BlockSpec((1, bq, hp), lambda i, h, j: (i, j, h),
+                              memory_space=pltpu.VMEM)
+
+        def kv_spec(j):
+            return pl.BlockSpec((1, l, hp),
+                                lambda i, h, jq, j=j: (i, 0, j * heads + h),
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            functools.partial(_lanes_qblock_kernel, scale=scale),
+            out_shape=jax.ShapeDtypeStruct((b, l, heads * hp), qkv_p.dtype),
+            grid=grid,
+            in_specs=[q_spec, kv_spec(1), kv_spec(2)],
+            out_specs=pl.BlockSpec((1, bq, hp), lambda i, h, j: (i, j, h),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            cost_estimate=cost,
+        )(qkv_p, qkv_p, qkv_p)
+    return out
+
+
+def _lanes_reference(qkv_p: jax.Array, heads: int, scale: float) -> jax.Array:
+    """XLA reference with identical semantics (zero pad lanes included)."""
+    b, l, c3 = qkv_p.shape
+    hp = c3 // (3 * heads)
+    t = qkv_p.reshape(b, l, 3, heads, hp)
+    q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(qkv_p.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return o.reshape(b, l, heads * hp)
+
+
+def _lanes_fwd(qkv_p, heads, scale):
+    return _lanes_forward(qkv_p, heads, scale), qkv_p
+
+
+def _lanes_bwd(heads, scale, qkv_p, g):
+    _, vjp = jax.vjp(lambda t: _lanes_reference(t, heads, scale), qkv_p)
+    return vjp(g)
+
+
+fused_attention_lanes.defvjp(_lanes_fwd, _lanes_bwd)
+
+
 def is_supported(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
     """Fused path: TPU backend, [B, L, H, D] self-attention with equal Q/K
     lengths, L small enough to solve fully in VMEM."""
