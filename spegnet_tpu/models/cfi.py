@@ -138,11 +138,33 @@ class SqueezeExcitation(nn.Module):
         return x * y[:, None, None, :]
 
 
+class _Conv1x1Params(nn.Module):
+    """1x1-conv parameter holder with nn.Conv's names/shapes/initializers
+    ({kernel: [1, 1, cin, cout]}); the weight is directly accessible so the
+    fusion can split it across its concat inputs (checkpoints unchanged)."""
+
+    features: int
+    in_features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features), jnp.float32,
+        )
+
+
 class AdaptiveAttentionFusion(nn.Module):
     """Upsample stages 3/4 to stage-2 resolution, concat, 1x1 reduce, SE.
 
     Reference: feature_integration.py:153-246.  Inputs are NHWC feature maps
     [stage2, stage3, stage4]; output [B, H2, W2, out_channels].
+
+    TPU lowering: conv1x1(concat(...)) == sum of per-stage 1x1 matmuls, and a
+    bias-free 1x1 conv commutes exactly with bilinear resize — so each stage
+    is projected to out_channels at its NATIVE resolution and upsampled
+    afterwards.  This skips materializing the [B, 64, 64, 2016] concat and
+    runs the big matmuls on 4x/16x fewer pixels; numerically identical
+    (golden-tested against the reference module in tests/test_cfi_ped.py).
     """
 
     out_channels: int = 512
@@ -151,14 +173,22 @@ class AdaptiveAttentionFusion(nn.Module):
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], train: bool = False):
         target_hw = features[0].shape[1:3]
-        aligned = [
-            f if f.shape[1:3] == target_hw else resize_bilinear(f, target_hw)
-            for f in features
-        ]
-        x = jnp.concatenate(aligned, axis=-1)
-        x = nn.Conv(
-            self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv1x1"
-        )(x)
+        cin = sum(f.shape[-1] for f in features)
+        conv = _Conv1x1Params(self.out_channels, cin, name="conv1x1")
+        kernel = conv.kernel[0, 0].astype(self.dtype)
+
+        x = None
+        off = 0
+        for f in features:
+            c = f.shape[-1]
+            y = jax.lax.dot_general(
+                f.astype(self.dtype), kernel[off: off + c],
+                (((3,), (0,)), ((), ())),
+            )
+            if f.shape[1:3] != target_hw:
+                y = resize_bilinear(y, target_hw)
+            x = y if x is None else x + y
+            off += c
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn",

@@ -127,23 +127,25 @@ def compute_pos_embed(bkg: jnp.ndarray, win: jnp.ndarray,
 
 class _LinearParams(nn.Module):
     """Dense-compatible parameter holder ({kernel, bias} with nn.Dense's
-    names, shapes and initializers) whose forward can apply either the
-    canonical weight or a caller-transformed view of it.  Keeps checkpoints
-    and the torch importer byte-identical while the TPU fast path consumes
-    lane-padded weight layouts."""
+    names, shapes and initializers) whose weights are also directly
+    accessible (setup-style), so fused kernels can consume transformed
+    (lane-padded) views.  Keeps checkpoints and the torch importer
+    byte-identical while the TPU fast paths use padded weight layouts."""
 
     features: int
-    in_features: Optional[int] = None  # canonical fan-in (defaults to x's)
+    in_features: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, transform=None):
-        kernel = self.param(
+    def setup(self):
+        self.kernel = self.param(
             "kernel", nn.linear.default_kernel_init,
-            (self.in_features or x.shape[-1], self.features), jnp.float32,
+            (self.in_features, self.features), jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+
+    def __call__(self, x, transform=None):
+        kernel, bias = self.kernel, self.bias
         if transform is not None:
             kernel, bias = transform(kernel, bias)
         y = jax.lax.dot_general(
@@ -151,6 +153,30 @@ class _LinearParams(nn.Module):
             (((x.ndim - 1,), (0,)), ((), ())),
         )
         return y + bias.astype(self.dtype)
+
+
+class _LayerNormParams(nn.Module):
+    """LayerNorm with nn.LayerNorm's param names/shapes/initializers
+    ({scale, bias}) and directly accessible weights for fused kernels.
+    Normalization math in f32, eps 1e-6 (torch/SAM2 convention)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    epsilon: float = 1e-6
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.features,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + self.epsilon) * self.scale + self.bias
+        return y.astype(self.dtype)
 
 
 class MultiScaleAttention(nn.Module):
@@ -165,12 +191,42 @@ class MultiScaleAttention(nn.Module):
     both attention matmuls (see ops/pallas_attention.py).
     """
 
+    dim: int
     dim_out: int
     num_heads: int
     q_pool: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    @property
+    def head_dim(self) -> int:
+        return self.dim_out // self.num_heads
+
+    @property
+    def hp(self) -> int:
+        """Per-head lane width (head_dim zero-padded to a 128 multiple)."""
+        return -(-self.head_dim // 128) * 128
+
+    def setup(self):
+        self.qkv = _LinearParams(3 * self.dim_out, in_features=self.dim,
+                                 dtype=self.dtype)
+        self.proj = _LinearParams(self.dim_out, in_features=self.dim_out,
+                                  dtype=self.dtype)
+
+    def pad_qkv(self, kernel, bias):
+        # [C, 3C] -> [C, 3, H, D] -> zero-pad D to HP -> [C, 3*H*HP]
+        heads, d, hp = self.num_heads, self.head_dim, self.hp
+        k5 = kernel.reshape(kernel.shape[0], 3, heads, d)
+        k5 = jnp.pad(k5, ((0, 0), (0, 0), (0, 0), (0, hp - d)))
+        b5 = jnp.pad(bias.reshape(3, heads, d), ((0, 0), (0, 0), (0, hp - d)))
+        return k5.reshape(-1, 3 * heads * hp), b5.reshape(-1)
+
+    def pad_proj(self, kernel, bias):
+        # [C, C] -> zero rows at each head's pad lanes -> [H*HP, C]
+        heads, d, hp = self.num_heads, self.head_dim, self.hp
+        k3 = kernel.reshape(heads, d, self.dim_out)
+        k3 = jnp.pad(k3, ((0, 0), (0, hp - d), (0, 0)))
+        return k3.reshape(heads * hp, self.dim_out), bias
+
     def __call__(self, x):
         from spegnet_tpu.ops.attention import USE_PALLAS
         from spegnet_tpu.ops.pallas_attention import (
@@ -179,42 +235,19 @@ class MultiScaleAttention(nn.Module):
         )
 
         b, h, w, _ = x.shape
-        head_dim = self.dim_out // self.num_heads
-        qkv_mod = _LinearParams(3 * self.dim_out, dtype=self.dtype, name="qkv")
-        proj_mod = _LinearParams(self.dim_out, in_features=self.dim_out,
-                                 dtype=self.dtype, name="proj")
-
+        head_dim = self.head_dim
         use_lanes = (
             not self.q_pool
             and USE_PALLAS in ("auto", "1")
             and lanes_supported(h * w, head_dim)
         )
         if use_lanes:
-            hp = -(-head_dim // 128) * 128
-            heads = self.num_heads
-
-            def pad_qkv(kernel, bias):
-                # [C, 3C] -> [C, 3, H, D] -> zero-pad D to HP -> [C, 3*H*HP]
-                k5 = kernel.reshape(kernel.shape[0], 3, heads, head_dim)
-                k5 = jnp.pad(k5, ((0, 0), (0, 0), (0, 0), (0, hp - head_dim)))
-                b5 = jnp.pad(
-                    bias.reshape(3, heads, head_dim),
-                    ((0, 0), (0, 0), (0, hp - head_dim)),
-                )
-                return k5.reshape(-1, 3 * heads * hp), b5.reshape(-1)
-
-            def pad_proj(kernel, bias):
-                # [C, C] -> zero rows at each head's pad lanes -> [H*HP, C]
-                k3 = kernel.reshape(heads, head_dim, self.dim_out)
-                k3 = jnp.pad(k3, ((0, 0), (0, hp - head_dim), (0, 0)))
-                return k3.reshape(heads * hp, self.dim_out), bias
-
-            qkv_p = qkv_mod(x.reshape(b, h * w, -1), transform=pad_qkv)
-            o_p = fused_attention_lanes(qkv_p, heads, head_dim ** -0.5)
-            out = proj_mod(o_p, transform=pad_proj)
+            qkv_p = self.qkv(x.reshape(b, h * w, -1), transform=self.pad_qkv)
+            o_p = fused_attention_lanes(qkv_p, self.num_heads, head_dim ** -0.5)
+            out = self.proj(o_p, transform=self.pad_proj)
             return out.reshape(b, h, w, self.dim_out)
 
-        qkv = qkv_mod(x).reshape(b, h * w, 3, self.num_heads, head_dim)
+        qkv = self.qkv(x).reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.q_pool:
             q = _max_pool_2x2(q.reshape(b, h, w, -1))
@@ -222,11 +255,19 @@ class MultiScaleAttention(nn.Module):
             q = q.reshape(b, h * w, self.num_heads, head_dim)
         o = scaled_dot_product_attention(q, k, v)  # [B, L_q, heads, head_dim]
         o = o.reshape(b, h, w, self.dim_out)
-        return proj_mod(o)
+        return self.proj(o)
 
 
 class MultiScaleBlock(nn.Module):
-    """Hiera block: LN -> (window) attention [+ Q-pool] -> residual -> LN -> MLP."""
+    """Hiera block: LN -> (window) attention [+ Q-pool] -> residual -> LN -> MLP.
+
+    Non-pooling blocks on TPU run as ONE fused Pallas kernel (LN1 -> qkv ->
+    attention -> proj -> residual -> LN2 -> MLP -> residual, weights resident
+    in VMEM; see ops/fused_block.py): each activation tile makes a single HBM
+    round trip instead of ~8, which is the difference between 14 TF/s and
+    MXU-bound at the windowed stages.  Pooling/projection blocks (3 stage
+    transitions in Hiera-L) and non-TPU backends use the decomposed path.
+    """
 
     dim: int
     dim_out: int
@@ -238,26 +279,83 @@ class MultiScaleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from spegnet_tpu.ops.attention import USE_PALLAS
+        from spegnet_tpu.ops import fused_block as fb
+
+        hidden = int(self.dim_out * self.mlp_ratio)
+        # Exact (erf) GELU matches torch nn.GELU bit-for-bit in f32 parity
+        # tests; under bf16 compute the tanh approximation is used instead:
+        # max |gelu_erf - gelu_tanh| = 5.0e-4 on [-6, 6] — below bf16 rounding
+        # at those magnitudes — while erf costs ~3.7x more VPU time on TPU
+        # (~30 ms/batch-16 across the Hiera-L trunk, measured).
+        approx_gelu = self.dtype == jnp.bfloat16
+
+        norm1 = _LayerNormParams(self.dim, dtype=self.dtype, name="norm1")
+        norm2 = _LayerNormParams(self.dim_out, dtype=self.dtype, name="norm2")
+        attn = MultiScaleAttention(
+            dim=self.dim, dim_out=self.dim_out, num_heads=self.num_heads,
+            q_pool=self.q_stride, dtype=self.dtype, name="attn",
+        )
+        fc1 = _LinearParams(hidden, in_features=self.dim_out,
+                            dtype=self.dtype, name="mlp_fc1")
+        fc2 = _LinearParams(self.dim_out, in_features=hidden,
+                            dtype=self.dtype, name="mlp_fc2")
+
+        h, w = x.shape[1:3]
+        ws = self.window_size
+        l = ws * ws if ws > 0 else h * w
+        divisible = ws == 0 or (h % ws == 0 and w % ws == 0)
+        use_fused = (
+            self.dim == self.dim_out
+            and not self.q_stride
+            and USE_PALLAS in ("auto", "1")
+            and divisible
+            and fb.supported(1, l, self.dtype)
+        )
+        if use_fused:
+            b = x.shape[0]
+            if ws > 0:
+                xw, pad_hw = _window_partition(x, ws)
+                xw = xw.reshape(-1, l, self.dim)
+            else:
+                xw = x.reshape(b, l, self.dim)
+            wqkv, bqkv = attn.pad_qkv(attn.qkv.kernel, attn.qkv.bias)
+            wproj, bproj = attn.pad_proj(attn.proj.kernel, attn.proj.bias)
+            dt = self.dtype
+            weights = fb.BlockWeights(
+                ln1_scale=norm1.scale.reshape(1, -1),
+                ln1_bias=norm1.bias.reshape(1, -1),
+                wqkv=wqkv.astype(dt), bqkv=bqkv.reshape(1, -1).astype(dt),
+                wproj=wproj.astype(dt), bproj=bproj.reshape(1, -1).astype(dt),
+                ln2_scale=norm2.scale.reshape(1, -1),
+                ln2_bias=norm2.bias.reshape(1, -1),
+                wfc1=fc1.kernel.astype(dt),
+                bfc1=fc1.bias.reshape(1, -1).astype(dt),
+                wfc2=fc2.kernel.astype(dt),
+                bfc2=fc2.bias.reshape(1, -1).astype(dt),
+            )
+            out = fb.fused_block(
+                xw, weights, attn.num_heads, attn.hp,
+                attn.head_dim ** -0.5, 1e-6, approx_gelu,
+            )
+            if ws > 0:
+                out = out.reshape(-1, ws, ws, self.dim)
+                return _window_unpartition(out, ws, pad_hw, (h, w))
+            return out.reshape(b, h, w, self.dim)
+
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = norm1(x)
 
         if self.dim != self.dim_out:
             proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
             shortcut = _max_pool_2x2(proj) if self.q_stride else proj
 
-        ws = self.window_size
         hw = x.shape[1:3]
         pad_hw = hw
         if ws > 0:
             x, pad_hw = _window_partition(x, ws)
 
-        x = MultiScaleAttention(
-            dim_out=self.dim_out,
-            num_heads=self.num_heads,
-            q_pool=self.q_stride,
-            dtype=self.dtype,
-            name="attn",
-        )(x)
+        x = attn(x)
 
         if self.q_stride:
             # Q-pooling halved the spatial extent inside each window.
@@ -271,16 +369,10 @@ class MultiScaleBlock(nn.Module):
             x = _window_unpartition(x, ws, pad_hw, hw)
 
         x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        hidden = int(self.dim_out * self.mlp_ratio)
-        y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
-        # Exact (erf) GELU matches torch nn.GELU bit-for-bit in f32 parity
-        # tests; under bf16 compute the tanh approximation is used instead:
-        # max |gelu_erf - gelu_tanh| = 5.0e-4 on [-6, 6] — below bf16 rounding
-        # at those magnitudes — while erf costs ~3.7x more VPU time on TPU
-        # (~30 ms/batch-16 across the Hiera-L trunk, measured).
-        y = nn.gelu(y, approximate=self.dtype == jnp.bfloat16)
-        y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_fc2")(y)
+        y = norm2(x)
+        y = fc1(y)
+        y = nn.gelu(y, approximate=approx_gelu)
+        y = fc2(y)
         return x + y
 
 
