@@ -179,6 +179,58 @@ class _LayerNormParams(nn.Module):
         return y.astype(self.dtype)
 
 
+class PatchEmbed(nn.Module):
+    """7x7 stride-4 patch-embed conv, lowered space-to-depth.
+
+    XLA's direct lowering of a 7x7/s4 conv on a 3-channel input runs at
+    ~6 TF/s on the v5e (the 3-deep contraction defeats MXU tiling).  Instead:
+    rearrange the input into 4x4 pixel cells ([B, H/4, W/4, 48]) — a 7-tap
+    stride-4 window then spans exactly 2 cells per axis — and run ONE dense
+    2x2 conv with the 7x7 kernel scattered into a [2, 2, 48, C] weight
+    (unused sub-positions zero).  Identical math, reordered summation.
+
+    The parameter keeps nn.Conv's names/shapes/initializers
+    ({kernel: [7, 7, 3, C], bias: [C]}), so checkpoints and the torch
+    importer are unchanged.  (Reference encoder patch embed:
+    external sam2 Hiera trunk, see models/feature_encoding.py:156.)
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (7, 7, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        if h % 4 or w % 4:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (4, 4), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(self.dtype)
+        # tap i covers input row 4p + (i - 3): cell p-1 (sub-row i+1) for
+        # i < 3, cell p (sub-row i-3) for i >= 3.
+        w2 = jnp.zeros((2, 4, 2, 4, cin, self.features), jnp.float32)
+        for i in range(7):
+            dy, sy = (0, i + 1) if i < 3 else (1, i - 3)
+            for j in range(7):
+                dx, sx = (0, j + 1) if j < 3 else (1, j - 3)
+                w2 = w2.at[dy, sy, dx, sx].set(kernel[i, j])
+        w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 16 * cin,
+                                                    self.features)
+        cells = x.reshape(b, h // 4, 4, w // 4, 4, cin)
+        cells = cells.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h // 4, w // 4, 16 * cin)
+        y = jax.lax.conv_general_dilated(
+            cells, w2.astype(self.dtype), (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
 class MultiScaleAttention(nn.Module):
     """Attention with optional 2x2 max-pool Q-pooling (stage transitions).
 
@@ -261,12 +313,18 @@ class MultiScaleAttention(nn.Module):
 class MultiScaleBlock(nn.Module):
     """Hiera block: LN -> (window) attention [+ Q-pool] -> residual -> LN -> MLP.
 
-    Non-pooling blocks on TPU run as ONE fused Pallas kernel (LN1 -> qkv ->
-    attention -> proj -> residual -> LN2 -> MLP -> residual, weights resident
-    in VMEM; see ops/fused_block.py): each activation tile makes a single HBM
-    round trip instead of ~8, which is the difference between 14 TF/s and
-    MXU-bound at the windowed stages.  Pooling/projection blocks (3 stage
-    transitions in Hiera-L) and non-TPU backends use the decomposed path.
+    Non-pooling blocks on TPU run as ONE fused Pallas kernel.  The preferred
+    path is the transposed window-major kernel (ops/fused_block_t.py): the
+    surrounding stage keeps activations as [B, C, N] (channels on sublanes —
+    every Hiera width is a 16-row tile multiple — tokens window-major on
+    lanes), which removes both the per-block window partition/unpartition HBM
+    round trips and the 72->128 head-lane padding of the gen-1 kernel
+    (ops/fused_block.py, still used for small-window shapes the T-kernel
+    does not cover).  `t_ctx = (H, W, L)` marks that the input is already in
+    the transposed layout with attention groups of L tokens.
+
+    Pooling/projection blocks (3 stage transitions in Hiera-L) and non-TPU
+    backends use the decomposed path.
     """
 
     dim: int
@@ -276,11 +334,14 @@ class MultiScaleBlock(nn.Module):
     window_size: int = 0
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    t_ctx: Optional[Tuple[int, int, int]] = None
+    t_weights_only: bool = False
 
     @nn.compact
     def __call__(self, x):
         from spegnet_tpu.ops.attention import USE_PALLAS
         from spegnet_tpu.ops import fused_block as fb
+        from spegnet_tpu.ops import fused_block_t as fbt
 
         hidden = int(self.dim_out * self.mlp_ratio)
         # Exact (erf) GELU matches torch nn.GELU bit-for-bit in f32 parity
@@ -300,6 +361,42 @@ class MultiScaleBlock(nn.Module):
                             dtype=self.dtype, name="mlp_fc1")
         fc2 = _LinearParams(self.dim_out, in_features=hidden,
                             dtype=self.dtype, name="mlp_fc2")
+
+        if self.t_ctx is not None:
+            # Transposed window-major fused path: x is [B, C, N].
+            heads, d = attn.num_heads, attn.head_dim
+            hp = fbt.round_hp(d)
+            _, _, l_t = self.t_ctx
+            dt = self.dtype
+            kq = attn.qkv.kernel.reshape(self.dim, 3, heads, d)
+            kq = kq.transpose(1, 2, 3, 0)
+            kq = jnp.pad(kq, ((0, 0), (0, 0), (0, hp - d), (0, 0)))
+            kq = kq.reshape(3 * heads * hp, self.dim)
+            bq = jnp.pad(attn.qkv.bias.reshape(3, heads, d),
+                         ((0, 0), (0, 0), (0, hp - d))).reshape(-1, 1)
+            kp = attn.proj.kernel.reshape(heads, d, self.dim_out)
+            kp = jnp.pad(kp, ((0, 0), (0, hp - d), (0, 0)))
+            kp = kp.reshape(heads * hp, self.dim_out).T
+            weights = fbt.TBlockWeights(
+                ln1_scale=norm1.scale.reshape(-1, 1),
+                ln1_bias=norm1.bias.reshape(-1, 1),
+                wqkv_t=kq.astype(dt), bqkv_t=bq.astype(dt),
+                wproj_t=kp.astype(dt),
+                bproj_t=attn.proj.bias.reshape(-1, 1).astype(dt),
+                ln2_scale=norm2.scale.reshape(-1, 1),
+                ln2_bias=norm2.bias.reshape(-1, 1),
+                wfc1_t=fc1.kernel.T.astype(dt),
+                bfc1_t=fc1.bias.reshape(-1, 1).astype(dt),
+                wfc2_t=fc2.kernel.T.astype(dt),
+                bfc2_t=fc2.bias.reshape(-1, 1).astype(dt),
+            )
+            if self.t_weights_only:
+                # Runs of identical blocks execute as ONE lax.scan over
+                # stacked weights (see Hiera.__call__); this block only
+                # contributes its transposed weight views.
+                return weights
+            return fbt.fused_block_t(x, weights, heads, hp, l_t,
+                                     d ** -0.5, 1e-6, approx_gelu)
 
         h, w = x.shape[1:3]
         ws = self.window_size
@@ -432,10 +529,7 @@ class Hiera(nn.Module):
         if x.shape[1] % 32 or x.shape[2] % 32:
             raise ValueError("Input spatial dims must be divisible by 32")
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            cfg.embed_dim, (7, 7), strides=(4, 4), padding=[(3, 3), (3, 3)],
-            dtype=self.dtype, name="patch_embed",
-        )(x)
+        x = PatchEmbed(cfg.embed_dim, dtype=self.dtype, name="patch_embed")(x)
         x = x + self._pos_embed(x.shape[1:3])
 
         def constrain(t):
@@ -464,6 +558,11 @@ class Hiera(nn.Module):
                 MultiScaleBlock,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
+        from spegnet_tpu.ops.attention import USE_PALLAS
+        from spegnet_tpu.ops import fused_block_t as fbt
+
+        # Per-block static configs (dims/heads/window), first pass.
+        specs = []
         for i in range(cfg.depth):
             dim_out = embed_dim
             window_size = cfg.window_spec[cur_stage - 1]
@@ -473,18 +572,102 @@ class Hiera(nn.Module):
                 dim_out = int(embed_dim * cfg.dim_mul)
                 num_heads = int(num_heads * cfg.head_mul)
                 cur_stage += 1
-            x = block_cls(
-                dim=embed_dim,
-                dim_out=dim_out,
-                num_heads=num_heads,
-                q_stride=i in cfg.q_pool_blocks,
-                window_size=window_size,
-                mlp_ratio=cfg.mlp_ratio,
-                dtype=self.dtype,
-                name=f"block{i}",
-            )(x)
+            specs.append(dict(
+                dim=embed_dim, dim_out=dim_out, heads=num_heads,
+                q=i in cfg.q_pool_blocks, ws=window_size,
+                end=i in cfg.stage_ends,
+            ))
             embed_dim = dim_out
-            if i in cfg.stage_ends:
+
+        # Transposed window-major layout management: runs of non-pooling
+        # blocks execute on [B, C, N] activations (see ops/fused_block_t.py),
+        # entering/leaving the layout at stage boundaries instead of paying a
+        # window partition/unpartition per block.  Consecutive identical
+        # T-blocks (stage 3's 14/9/9-block windowed runs in Hiera-L) run as
+        # ONE lax.scan over their stacked transposed weights — one Pallas
+        # program in the compiled module instead of one per block, which
+        # keeps HLO size and compile time flat in depth (and gives the
+        # canonical scan-over-layers remat during training).  Global
+        # attention blocks accept any window ordering (softmax attention is
+        # permutation-equivariant over tokens).
+        t_order: Optional[int] = None
+        h = w = 0
+
+        def block_mod(i, sp, t_ctx=None, weights_only=False, cls=None):
+            return (cls or block_cls)(
+                dim=sp["dim"], dim_out=sp["dim_out"], num_heads=sp["heads"],
+                q_stride=sp["q"], window_size=sp["ws"],
+                mlp_ratio=cfg.mlp_ratio, dtype=self.dtype, t_ctx=t_ctx,
+                t_weights_only=weights_only, name=f"block{i}",
+            )
+
+        i = 0
+        while i < cfg.depth:
+            sp = specs[i]
+            if t_order is None:
+                h, w = x.shape[1:3]
+            ws_i = sp["ws"]
+            l_i = ws_i * ws_i if ws_i else h * w
+            can_t = (
+                self.spatial_axis is None
+                and sp["dim"] == sp["dim_out"]
+                and not sp["q"]
+                and USE_PALLAS in ("auto", "1")
+                and (ws_i == 0 or (h % ws_i == 0 and w % ws_i == 0))
+                and self.dtype == jnp.bfloat16
+                and fbt.supported(sp["dim"], sp["heads"], l_i, h * w,
+                                  self.dtype)
+            )
+            fits = can_t and (t_order is None or ws_i == 0
+                              or ws_i == t_order)
+            if t_order is not None and not fits:
+                x = fbt.from_t(x, t_order, (h, w))
+                t_order = None
+            if can_t and t_order is None:
+                t_order = ws_i
+                x = fbt.to_t(x, t_order)
+
+            if t_order is not None:
+                # Extend the run over identical specs (dict equality covers
+                # dims/heads/window AND the stage-end flag, so a run never
+                # crosses a stage boundary or swallows a differing block).
+                j = i + 1
+                while j < cfg.depth and specs[j] == sp:
+                    j += 1
+                run = list(range(i, j))
+                t_ctx = (h, w, l_i)
+                if len(run) == 1:
+                    x = block_mod(i, sp, t_ctx=t_ctx)(x)
+                else:
+                    tws = [block_mod(k, sp, t_ctx=t_ctx, weights_only=True,
+                                     cls=MultiScaleBlock)(x) for k in run]
+                    stacked = jax.tree_util.tree_map(
+                        lambda *a: jnp.stack(a), *tws)
+                    heads = sp["heads"]
+                    hp = fbt.round_hp(sp["dim_out"] // heads)
+                    scale = (sp["dim_out"] // heads) ** -0.5
+                    approx = self.dtype == jnp.bfloat16
+
+                    def body(xc, wts, heads=heads, hp=hp, l=l_i, scale=scale):
+                        return fbt.fused_block_t(
+                            xc, wts, heads, hp, l, scale, 1e-6, approx), None
+
+                    if self.remat:
+                        body = jax.checkpoint(
+                            body, policy=jax.checkpoint_policies
+                            .dots_with_no_batch_dims_saveable)
+                    x, _ = jax.lax.scan(body, x, stacked)
+                ended = specs[j - 1]["end"]
+                i = j
+            else:
+                x = block_mod(i, sp)(x)
+                ended = sp["end"]
+                i += 1
+
+            if ended:
+                if t_order is not None:
+                    x = fbt.from_t(x, t_order, (h, w))
+                    t_order = None
                 x = constrain(x)
                 outputs.append(x)
         return outputs

@@ -1,0 +1,355 @@
+"""Transposed window-major fused Hiera block kernel (Pallas, TPU).
+
+The second-generation whole-block kernel.  The first generation
+(ops/fused_block.py) keeps tokens on sublanes and channels on lanes — the
+PyTorch-native layout — which costs two kinds of MXU padding on Hiera's
+geometry:
+
+* channel widths 144/288/576 are not lane-tile (128) multiples, so every
+  matmul that contracts or produces C pays 78%/33%/11% padded lanes;
+* head_dim 72 rounds to a 128-wide lane block, inflating the qkv and proj
+  matmuls by 78%.
+
+This kernel runs the block TRANSPOSED: activations are [B, C, N] with
+channels on sublanes (every Hiera width is a multiple of the 16-row bf16
+sublane tile — zero alignment waste) and tokens on lanes, in WINDOW-MAJOR
+token order so each attention window is a contiguous 128-aligned lane span.
+Heads pad 72 -> 80 sublanes (11%) instead of 72 -> 128 lanes (78%).  All
+four projections are canonical [M, K] @ [K, N] MXU matmuls with N = tokens:
+
+    qkv^T  = Wqkv^T  [3*H*HP, C]      @ x^T    [C, N]
+    proj^T = Wproj^T [C, H*HP]        @ attn^T [H*HP, N]
+    fc1^T  = Wfc1^T  [hidden, C]      @ h2^T   [C, N]
+    fc2^T  = Wfc2^T  [C, hidden]      @ mlp^T  [hidden, N]
+
+Attention per window slices q/k/v at 80-row (sublane-aligned) offsets:
+
+    S  = q^T.T @ k^T  (contract the 80 sublanes)   [L, L]
+    O^T = v^T @ P^T   (contract the L key lanes)   [HP, L]
+
+Windows smaller than a lane tile (stage 1/2/4: L in {16, 64}) are packed
+into 128-lane chunks and computed as ONE chunk-wide attention with an
+additive block-diagonal mask — exact (masked logits underflow to exp = 0
+in f32), and the extra flops are negligible because attention is <10% of
+block work at those stages.
+
+The [B, H, W, C] <-> [B, C, N] layout change happens ONCE per stage run
+(see models/hiera.py), replacing the per-block window partition/unpartition
+HBM round trips of the gen-1 path.  Token order is window-major, which the
+interleaved global-attention blocks tolerate unchanged (softmax attention is
+permutation-equivariant over tokens).
+
+Gradients: custom_vjp recomputes through a pure-XLA reference of the same
+padded transposed math, so training matches the fused forward exactly.
+
+Reference behavior reproduced: the SAM2 Hiera MultiScaleBlock (reference:
+models/feature_encoding.py:46-57 wraps the trunk; block math is vendored in
+spegnet_tpu/models/hiera.py and golden-tested in tests/test_hiera*.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+_MASK_NEG = -1e30  # additive mask; exp(-1e30) == 0.0 exactly in f32
+_MAX_L = 1024      # largest exact-window length (S is [L, L] f32 in VMEM)
+
+
+class TBlockWeights(NamedTuple):
+    """Transposed, sublane-padded block weights (see module docstring).
+
+    LN scales/biases stay f32 ([C, 1]); matmul weights are compute-dtype.
+    Pad rows of wqkv/bqkv and pad columns of wproj are zero, making the
+    padded math exactly equal to the unpadded math.
+    """
+
+    ln1_scale: jax.Array   # [C, 1] f32
+    ln1_bias: jax.Array    # [C, 1] f32
+    wqkv_t: jax.Array      # [3*H*HP, C]
+    bqkv_t: jax.Array      # [3*H*HP, 1]
+    wproj_t: jax.Array     # [C, H*HP]
+    bproj_t: jax.Array     # [C, 1]
+    ln2_scale: jax.Array   # [C, 1] f32
+    ln2_bias: jax.Array    # [C, 1] f32
+    wfc1_t: jax.Array      # [hidden, C]
+    bfc1_t: jax.Array      # [hidden, 1]
+    wfc2_t: jax.Array      # [C, hidden]
+    bfc2_t: jax.Array      # [C, 1]
+
+
+def round_hp(head_dim: int) -> int:
+    """Per-head sublane width: head_dim padded to the 16-row bf16 tile."""
+    return -(-head_dim // 16) * 16
+
+
+def _pick_cw(l: int, n_tok: int) -> int:
+    """Attention chunk width.  Swept on-chip (tools/vpu_experiment.py):
+    packing several windows into one masked 512-lane chunk beats per-window
+    dots up to L = 256 — the extra masked flops are cheaper than issuing 2-4x
+    more small MXU ops.  Globals (L >= 512) need the full width."""
+    if l >= 512:
+        return l
+    return min(512, n_tok)
+
+
+def supported(c: int, heads: int, l: int, n_tok: int, dtype) -> bool:
+    """Can this (C, heads, window length L, tokens/image) run the T-kernel
+    profitably?  heads > 8 (Hiera-L stage 4) is measurably slower here than
+    the gen-1 lanes kernel — the unrolled per-head attention dots get too
+    small — so those shapes keep the gen-1 path."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if c % 16 or heads > 8:
+        return False
+    if l >= 128:
+        ok = l % 128 == 0 and l <= _MAX_L
+    else:
+        ok = 128 % l == 0
+    cw = _pick_cw(l, n_tok)
+    return ok and cw % max(l, 128) == 0 and n_tok % cw == 0
+
+
+# ---------------------------------------------------------------------------
+# layout transforms (XLA level, once per stage run)
+# ---------------------------------------------------------------------------
+
+def to_t(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, C, N] window-major (ws x ws windows, row-major
+    within each window).  ws == 0 means no windowing (plain transpose)."""
+    b, h, w, c = x.shape
+    if ws <= 0 or (ws >= h and ws >= w):
+        return x.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 5, 1, 3, 2, 4)
+    return x.reshape(b, c, h * w)
+
+
+def from_t(xt: jnp.ndarray, ws: int, hw) -> jnp.ndarray:
+    """Inverse of to_t: [B, C, N] -> [B, H, W, C]."""
+    b, c, n = xt.shape
+    h, w = hw
+    if ws <= 0 or (ws >= h and ws >= w):
+        return xt.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+    x = xt.reshape(b, c, h // ws, w // ws, ws, ws)
+    x = x.transpose(0, 2, 4, 3, 5, 1)
+    return x.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _ln_sub(x, scale, bias, eps, out_dtype):
+    """LayerNorm over the sublane (channel) axis 0, math in f32."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=0, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=0, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps) * scale + bias
+    return y.astype(out_dtype)
+
+
+def _mm(a, b):
+    """[M, K] @ [K, N] with f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+            bproj_ref, ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+            bfc2_ref, o_ref, attn_buf, *, heads: int, hp: int, l: int,
+            cw: int, scale: float, eps: float, approx_gelu: bool):
+    dt = o_ref.dtype
+    x = x_ref[0]                               # [C, T]
+    t = x.shape[1]
+
+    h1 = _ln_sub(x, ln1s_ref[...], ln1b_ref[...], eps, dt)
+    qkv = (_mm(wqkv_ref[...], h1) + bqkv_ref[...]).astype(dt)  # [3*H*HP, T]
+
+    if l < cw:
+        # Block-diagonal additive mask, built in-registers (iota) so the
+        # kernel captures no constants: tokens i, j may attend iff they fall
+        # in the same L-token window of the chunk.
+        row = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 0) // l
+        col = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 1) // l
+        mask = jnp.where(row == col, 0.0, _MASK_NEG)           # [CW, CW] f32
+    else:
+        mask = None
+
+    for c0 in range(0, t, cw):
+        for h in range(heads):
+            q = qkv[h * hp:(h + 1) * hp, c0:c0 + cw]
+            k = qkv[(heads + h) * hp:(heads + h + 1) * hp, c0:c0 + cw]
+            v = qkv[(2 * heads + h) * hp:(2 * heads + h + 1) * hp,
+                    c0:c0 + cw]
+            s = jax.lax.dot_general(
+                q, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                           # [CW, CW]
+            if mask is not None:
+                s = s + mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p * pl.reciprocal(denom, approx=False)).astype(dt)
+            o = jax.lax.dot_general(
+                v, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                   # [HP, CW]
+            attn_buf[h * hp:(h + 1) * hp, c0:c0 + cw] = o.astype(dt)
+
+    proj = _mm(wproj_ref[...], attn_buf[...]) + bproj_ref[...]  # [C, T]
+    x = x + proj.astype(dt)
+
+    h2 = _ln_sub(x, ln2s_ref[...], ln2b_ref[...], eps, dt)
+    y = _mm(wfc1_ref[...], h2) + bfc1_ref[...]                  # [hidden, T]
+    y = jax.nn.gelu(y, approximate=approx_gelu).astype(dt)
+    y = _mm(wfc2_ref[...], y) + bfc2_ref[...]                   # [C, T]
+    o_ref[0] = x + y.astype(dt)
+
+
+def _pick_cols(n_tok: int, cw: int, heads: int, cap: int = 2048) -> int:
+    """Tokens per grid cell: a multiple of the chunk width that divides the
+    per-image token count, capped so the unrolled attention loop stays
+    small (chunks * heads <= 32) and tiles stay modest."""
+    t = min(n_tok, cap)
+    t -= t % cw
+    while t > cw and ((t // cw) * heads > 32 or n_tok % t):
+        t -= cw
+    return max(t, cw)
+
+
+def _forward(xt, weights: TBlockWeights, *, heads: int, hp: int, l: int,
+             scale: float, eps: float, approx_gelu: bool,
+             interpret: bool = False, cw: Optional[int] = None,
+             t_cap: Optional[int] = None):
+    b, c, n = xt.shape
+    hidden = weights.wfc1_t.shape[0]
+    if cw is None:
+        cw = _pick_cw(l, n)
+    if t_cap is None:
+        t_cap = 4096 if heads <= 2 else 2048
+    t_cell = _pick_cols(n, cw, heads, t_cap)
+    grid = (b, n // t_cell)
+
+    x_spec = pl.BlockSpec((1, c, t_cell), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    flops_mm = 2 * b * n * (c * weights.wqkv_t.shape[0]
+                            + heads * hp * c + 2 * c * hidden)
+    cost = pl.CostEstimate(
+        flops=flops_mm + 4 * b * heads * n * cw * hp,
+        bytes_accessed=2 * b * n * c * xt.dtype.itemsize,
+        transcendentals=b * heads * n * cw + b * n * hidden,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, heads=heads, hp=hp, l=l, cw=cw,
+                          scale=scale, eps=eps, approx_gelu=approx_gelu),
+        out_shape=jax.ShapeDtypeStruct((b, c, n), xt.dtype),
+        grid=grid,
+        in_specs=[x_spec] + [w_spec(w) for w in weights],
+        out_specs=x_spec,
+        scratch_shapes=[pltpu.VMEM((heads * hp, t_cell), xt.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xt, *weights)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (identical padded math) + custom_vjp
+# ---------------------------------------------------------------------------
+
+def block_t_reference(xt, weights: TBlockWeights, *, heads: int, hp: int,
+                      l: int, scale: float, eps: float, approx_gelu: bool):
+    """Pure-XLA implementation of the identical transposed/padded math;
+    backward pass of the custom_vjp and oracle for parity tests.
+
+    Internally token-major ([B, N, C], one transpose at each edge): these are
+    the matmul/attention layouts XLA lowers well — the direct [B, C, N]
+    einsum forms made the recompute-based training backward ~3x slower than
+    the whole train step should be."""
+    b, c, n = xt.shape
+    dt = xt.dtype
+    x = xt.transpose(0, 2, 1)                            # [B, N, C]
+
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h1 = (xc * jax.lax.rsqrt(var + eps) * weights.ln1_scale[:, 0]
+          + weights.ln1_bias[:, 0]).astype(dt)
+
+    qkv = (jnp.einsum("bnc,fc->bnf", h1, weights.wqkv_t.astype(dt),
+                      preferred_element_type=jnp.float32)
+           + weights.bqkv_t[:, 0]).astype(dt)            # [B, N, 3*H*HP]
+    t = qkv.reshape(b, n // l, l, 3, heads, hp)
+    q, k, v = t[..., 0, :, :], t[..., 1, :, :], t[..., 2, :, :]
+    s = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(dt)
+    o = jnp.einsum("bwhqk,bwkhd->bwqhd", p, v,
+                   preferred_element_type=jnp.float32).astype(dt)
+    o = o.reshape(b, n, heads * hp)
+    proj = (jnp.einsum("bnf,cf->bnc", o, weights.wproj_t.astype(dt),
+                       preferred_element_type=jnp.float32)
+            + weights.bproj_t[:, 0]).astype(dt)
+    x = x + proj
+
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h2 = (xc * jax.lax.rsqrt(var + eps) * weights.ln2_scale[:, 0]
+          + weights.ln2_bias[:, 0]).astype(dt)
+    y = (jnp.einsum("bnc,hc->bnh", h2, weights.wfc1_t.astype(dt),
+                    preferred_element_type=jnp.float32)
+         + weights.bfc1_t[:, 0]).astype(dt)
+    y = jax.nn.gelu(y, approximate=approx_gelu)
+    y = (jnp.einsum("bnh,ch->bnc", y, weights.wfc2_t.astype(dt),
+                    preferred_element_type=jnp.float32)
+         + weights.bfc2_t[:, 0]).astype(dt)
+    return (x + y).transpose(0, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def fused_block_t(xt, weights: TBlockWeights, heads: int, hp: int, l: int,
+                  scale: float, eps: float, approx_gelu: bool):
+    return _forward(xt, weights, heads=heads, hp=hp, l=l, scale=scale,
+                    eps=eps, approx_gelu=approx_gelu)
+
+
+def _fwd(xt, weights, heads, hp, l, scale, eps, approx_gelu):
+    out = _forward(xt, weights, heads=heads, hp=hp, l=l, scale=scale,
+                   eps=eps, approx_gelu=approx_gelu)
+    return out, (xt, weights)
+
+
+def _bwd(heads, hp, l, scale, eps, approx_gelu, res, g):
+    xt, weights = res
+    _, vjp = jax.vjp(
+        lambda x, w: block_t_reference(x, w, heads=heads, hp=hp, l=l,
+                                       scale=scale, eps=eps,
+                                       approx_gelu=approx_gelu),
+        xt, weights,
+    )
+    return vjp(g)
+
+
+fused_block_t.defvjp(_fwd, _bwd)

@@ -62,6 +62,14 @@ def upsample2x_conv3x3(x: jax.Array, kernel: jax.Array,
     k3 = kernel.astype(jnp.float32)
     ke = _compose_kernel(k3).astype(dt)
 
+    # NOTE on the rejected polyphase alternative: computing the four output
+    # phases as one dense [3, 3, Cin, 4*Cout] conv runs the matmuls ~2x
+    # faster for Cout <= 128 (the lhs-dilated form half-fills the MXU's
+    # 128-lane output tiles), but the depth-to-space back to NHWC costs MORE
+    # than the saving: a [.., 2W, 64] <-> [.., W, 128] reinterpretation is a
+    # lane-RETILING in XLA's (8, 128)-tiled layout (measured +4.2 ms at
+    # 256->512/64ch vs the conv's -3.9 ms).  The lhs-dilated conv writes the
+    # half-filled tiles directly from the MXU, so it stays.
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     y = _conv(xp, ke, [(1, 1), (1, 1)], lhs_dilation=(2, 2))
     y = y.astype(dt)
@@ -92,10 +100,15 @@ def upsample2x_conv3x3(x: jax.Array, kernel: jax.Array,
     y_left = _conv(u_left, k3dt[:, 1:3], [(1, 1), (0, 0)]).astype(dt)
     y_right = _conv(u_right, k3dt[:, 0:2], [(1, 1), (0, 0)]).astype(dt)
 
-    y = y.at[:, 0:1].set(y_top)
-    y = y.at[:, -1:].set(y_bot)
-    y = y.at[:, :, 0:1].set(y_left)
-    y = y.at[:, :, -1:].set(y_right)
+    # Paste via broadcasted selects (ONE fused elementwise pass) instead of
+    # chained dynamic-update-slices, which XLA executed as full-tensor copies
+    # (~5 ms at the 512² stage, measured).  Left/right outermost so they win
+    # at the corners, matching the previous paste order.
+    ho, wo = y.shape[1:3]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, ho, 1, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wo, 1), 2)
+    y = jnp.where(row == 0, y_top, jnp.where(row == ho - 1, y_bot, y))
+    y = jnp.where(col == 0, y_left, jnp.where(col == wo - 1, y_right, y))
     if bias is not None:
         y = y + bias.astype(dt)
     return y

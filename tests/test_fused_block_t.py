@@ -1,0 +1,176 @@
+"""Transposed window-major fused block kernel (ops/fused_block_t.py):
+interpret-mode parity on CPU vs the pure-XLA transposed reference, layout
+round-trips, masked-chunk == per-window equivalence, gradients via the
+custom_vjp, and the whole MultiScaleBlock T-path vs the canonical path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spegnet_tpu.ops import fused_block_t as fbt
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        kwargs.pop("compiler_params", None)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fbt.pl, "pallas_call", interp)
+    yield
+
+
+def make_weights(rng, c, heads, d, hidden, hp):
+    def arr(*shape, scale=0.2):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale)
+
+    wqkv = np.zeros((3, heads, hp, c), np.float32)
+    wqkv[:, :, :d] = rng.standard_normal((3, heads, d, c)) * 0.2
+    bqkv = np.zeros((3, heads, hp), np.float32)
+    bqkv[..., :d] = rng.standard_normal((3, heads, d)) * 0.1
+    wproj = np.zeros((c, heads, hp), np.float32)
+    wproj[:, :, :d] = rng.standard_normal((c, heads, d)) * 0.2
+    return fbt.TBlockWeights(
+        ln1_scale=arr(c, 1, scale=1.0) + 1.0, ln1_bias=arr(c, 1, scale=0.1),
+        wqkv_t=jnp.asarray(wqkv.reshape(-1, c)),
+        bqkv_t=jnp.asarray(bqkv.reshape(-1, 1)),
+        wproj_t=jnp.asarray(wproj.reshape(c, -1)),
+        bproj_t=arr(c, 1, scale=0.1),
+        ln2_scale=arr(c, 1, scale=1.0) + 1.0, ln2_bias=arr(c, 1, scale=0.1),
+        wfc1_t=arr(hidden, c), bfc1_t=arr(hidden, 1, scale=0.1),
+        wfc2_t=arr(c, hidden), bfc2_t=arr(c, 1, scale=0.1),
+    )
+
+
+@pytest.mark.parametrize("hw,ws,c,heads,d", [
+    (16, 4, 32, 2, 16),    # masked chunks: 128-lane chunk packs 8 windows
+    (32, 16, 48, 2, 24),   # per-window path: L = 256
+    (16, 0, 32, 2, 16),    # global: L = N = 256
+])
+def test_fused_block_t_matches_reference(rng, hw, ws, c, heads, d):
+    hp = fbt.round_hp(d)
+    weights = make_weights(rng, c, heads, d, 4 * c, hp)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32) * 0.5)
+    xt = fbt.to_t(x, ws)
+    l = ws * ws if ws else hw * hw
+    kw = dict(heads=heads, hp=hp, l=l, scale=d ** -0.5, eps=1e-6,
+              approx_gelu=False)
+    want = np.asarray(fbt.block_t_reference(xt, weights, **kw))
+    got = np.asarray(fbt.fused_block_t(xt, weights, heads, hp, l,
+                                       d ** -0.5, 1e-6, False))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+def test_layout_round_trip(rng):
+    x = jnp.asarray(rng.standard_normal((3, 24, 16, 8)).astype(np.float32))
+    for ws in (0, 4, 8):
+        xt = fbt.to_t(x, ws)
+        assert xt.shape == (3, 8, 24 * 16)
+        np.testing.assert_array_equal(np.asarray(fbt.from_t(xt, ws, (24, 16))),
+                                      np.asarray(x))
+
+
+def test_window_major_order():
+    """to_t must place each ws x ws window's tokens contiguously."""
+    h = w = 8
+    x = jnp.arange(h * w, dtype=jnp.float32).reshape(1, h, w, 1)
+    xt = fbt.to_t(x, 4)[0, 0]  # [N]
+    first_window = np.asarray(x[0, :4, :4, 0]).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(xt[:16]), first_window)
+
+
+def test_masked_chunk_equals_per_window(rng):
+    """cw > L (several windows per masked chunk) must equal exact per-window
+    attention (the reference always groups exactly by L)."""
+    c, heads, d = 32, 2, 16
+    hp = fbt.round_hp(d)
+    weights = make_weights(rng, c, heads, d, 4 * c, hp)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, c)).astype(np.float32) * 0.5)
+    xt = fbt.to_t(x, 8)  # L = 64, N = 1024
+    kw = dict(heads=heads, hp=hp, l=64, scale=d ** -0.5, eps=1e-6,
+              approx_gelu=False)
+    want = np.asarray(fbt.block_t_reference(xt, weights, **kw))
+    for cw in (128, 256, 512):
+        got = np.asarray(fbt._forward(xt, weights, cw=cw, **kw))
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4,
+                                   err_msg=f"cw={cw}")
+
+
+def test_fused_block_t_gradients(rng):
+    c, heads, d, ws, hw = 32, 2, 16, 4, 8
+    hp = fbt.round_hp(d)
+    weights = make_weights(rng, c, heads, d, 4 * c, hp)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32) * 0.5)
+    xt = fbt.to_t(x, ws)
+    args = (heads, hp, ws * ws, d ** -0.5, 1e-6, False)
+
+    g1 = jax.grad(lambda x, w: jnp.sum(
+        fbt.fused_block_t(x, w, *args) ** 2), argnums=(0, 1))(xt, weights)
+    g2 = jax.grad(lambda x, w: jnp.sum(
+        fbt.block_t_reference(x, w, heads=heads, hp=hp, l=ws * ws,
+                              scale=d ** -0.5, eps=1e-6,
+                              approx_gelu=False) ** 2),
+        argnums=(0, 1))(xt, weights)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_block_t_path_vs_canonical(rng):
+    """Whole MultiScaleBlock: T-path (t_ctx set, interpret) must match the
+    decomposed canonical path after the layout round-trip."""
+    import spegnet_tpu.ops.attention as attmod
+    from spegnet_tpu.models.hiera import MultiScaleBlock
+
+    h = w = 16
+    blk_ref = MultiScaleBlock(dim=32, dim_out=32, num_heads=2, window_size=4)
+    x = jnp.asarray(rng.standard_normal((2, h, w, 32)).astype(np.float32))
+    variables = blk_ref.init(jax.random.PRNGKey(0), x)
+
+    blk_t = MultiScaleBlock(dim=32, dim_out=32, num_heads=2, window_size=4,
+                            t_ctx=(h, w, 16))
+    out_t = blk_t.apply(variables, fbt.to_t(x, 4))
+    got = np.asarray(fbt.from_t(out_t, 4, (h, w)))
+
+    old = attmod.USE_PALLAS
+    try:
+        attmod.USE_PALLAS = "0"
+        ref = np.asarray(blk_ref.apply(variables, x))
+    finally:
+        attmod.USE_PALLAS = old
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
+
+
+def test_hiera_t_scan_path_vs_canonical(rng, monkeypatch):
+    """Full tiny Hiera: force the T-layout + scan-over-run path on CPU
+    (interpret) and compare against the fully decomposed encoder."""
+    import spegnet_tpu.ops.attention as attmod
+    import spegnet_tpu.models.hiera as hmod
+    from spegnet_tpu.models.hiera import Hiera
+
+    monkeypatch.setattr(
+        fbt, "supported",
+        lambda c, heads, l, n_tok, dtype: (
+            c % 16 == 0 and (128 % l == 0 if l < 128 else l % 128 == 0)
+            and fbt._pick_cw(l, n_tok) % max(l, 128) == 0
+            and n_tok % fbt._pick_cw(l, n_tok) == 0),
+    )
+    # bfloat16 gate: run in bf16 like the TPU path, compare loosely.
+    enc = Hiera(variant="tiny", dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    fast = enc.apply(variables, x)
+
+    monkeypatch.setattr(attmod, "USE_PALLAS", "0")
+    ref = enc.apply(variables, x)
+    for a, b in zip(fast, ref):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / scale < 0.03, np.abs(a - b).max()
