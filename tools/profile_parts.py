@@ -127,6 +127,26 @@ def main():
         report(name, secs, flops)
         report(f"{name}_x{nblk}", secs * nblk)
 
+    # ---- stage-transition (Q-pooling) blocks ----------------------------
+    # (dim_in, dim_out, heads_out, hw_in, window of the NEW stage)
+    transitions = {
+        "t12": (144, 288, 4, 128, 4),
+        "t23": (288, 576, 8, 64, 16),
+        "t34": (576, 1152, 16, 32, 8),
+    }
+    for name, (din, dout, heads, hw, win) in transitions.items():
+        if not sel(name):
+            continue
+        blk = MultiScaleBlock(dim=din, dim_out=dout, num_heads=heads,
+                              q_stride=True, window_size=win, dtype=dt)
+        xb = jax.random.normal(key, (B, hw, hw, din), dt)
+        vb = jax.jit(blk.init)(key, xb)
+
+        def tblk_fn(x, blk=blk, vb=vb):
+            return blk.apply(vb, x)
+
+        report(name, chain_time(tblk_fn, xb, args.steps))
+
     # ---- attention only: pallas vs XLA on stage-3 global shape ----------
     from spegnet_tpu.ops.attention import attention_reference
     from spegnet_tpu.ops.pallas_attention import fused_attention
@@ -181,9 +201,9 @@ def main():
 
     # ---- patch embed -----------------------------------------------------
     if sel("patch_embed"):
-        import flax.linen as nn
+        from spegnet_tpu.models.hiera import PatchEmbed
 
-        pe = nn.Conv(144, (7, 7), strides=(4, 4), padding=[(3, 3), (3, 3)], dtype=dt)
+        pe = PatchEmbed(144, dtype=dt)
         x = jax.random.normal(key, (B, 512, 512, 3), dt)
         pv = jax.jit(pe.init)(key, x)
 
