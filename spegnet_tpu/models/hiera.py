@@ -406,6 +406,63 @@ class MultiScaleBlock(nn.Module):
         ws = self.window_size
         l = ws * ws if ws > 0 else h * w
         divisible = ws == 0 or (h % ws == 0 and w % ws == 0)
+
+        proj_mod = None
+        if self.dim != self.dim_out:
+            proj_mod = _LinearParams(self.dim_out, in_features=self.dim,
+                                     dtype=self.dtype, name="proj")
+
+        use_qpool_t = (
+            self.q_stride
+            and proj_mod is not None
+            and ws > 1 and ws % 2 == 0 and divisible
+            and USE_PALLAS in ("auto", "1")
+            and self.dtype == jnp.bfloat16
+            and fbt.qpool_supported(self.dim, self.num_heads, l, h * w,
+                                    self.dtype)
+        )
+        if use_qpool_t:
+            # Fused transition front (ops/fused_block_t.py): LN -> qkv +
+            # shortcut proj -> pooled-q window attention in ONE kernel on the
+            # micro-window transposed layout; 2x2 Q-pooling is a lane
+            # roll-max whose off-group lanes are discarded by the ::4
+            # compaction.  Replaces the decomposed path's worst offender
+            # (stage-1->2 transition: 10.5 ms of window-partition copies and
+            # [4, 16] micro-attentions at batch 16).
+            heads, d = self.num_heads, self.dim_out // self.num_heads
+            hp = fbt.round_hp(d)
+            dt = self.dtype
+            kq = attn.qkv.kernel.reshape(self.dim, 3, heads, d)
+            kq = kq.transpose(1, 2, 3, 0)
+            kq = jnp.pad(kq, ((0, 0), (0, 0), (0, hp - d), (0, 0)))
+            kq = kq.reshape(3 * heads * hp, self.dim)
+            bq = jnp.pad(attn.qkv.bias.reshape(3, heads, d),
+                         ((0, 0), (0, 0), (0, hp - d))).reshape(-1, 1)
+            wts = fbt.QPoolWeights(
+                ln_scale=norm1.scale.reshape(-1, 1),
+                ln_bias=norm1.bias.reshape(-1, 1),
+                wqkv_t=kq.astype(dt), bqkv_t=bq.astype(dt),
+                wsc_t=proj_mod.kernel.T.astype(dt),
+                bsc_t=proj_mod.bias.reshape(-1, 1).astype(dt),
+            )
+            xt = fbt.to_t_micro(x, ws)
+            o_p, sc_p = fbt.qpool_front(xt, wts, heads, hp, l,
+                                        d ** -0.5, 1e-6)
+            kp = attn.proj.kernel.reshape(heads, d, self.dim_out)
+            kp = jnp.pad(kp, ((0, 0), (0, hp - d), (0, 0)))
+            kp = kp.reshape(heads * hp, self.dim_out)
+            o_n = o_p.transpose(0, 2, 1)              # [B, N/4, H*HP]
+            out1 = sc_p.transpose(0, 2, 1) + (
+                jnp.einsum("bnf,fc->bnc", o_n, kp.astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+                + attn.proj.bias.astype(dt))
+            x2 = fbt.from_t(out1.transpose(0, 2, 1), ws // 2,
+                            (h // 2, w // 2))
+            y = norm2(x2)
+            y = fc1(y)
+            y = nn.gelu(y, approximate=approx_gelu)
+            y = fc2(y)
+            return x2 + y
         use_fused = (
             self.dim == self.dim_out
             and not self.q_stride
@@ -448,7 +505,7 @@ class MultiScaleBlock(nn.Module):
         x = norm1(x)
 
         if self.dim != self.dim_out:
-            proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+            proj = proj_mod(x)
             shortcut = _max_pool_2x2(proj) if self.q_stride else proj
 
         hw = x.shape[1:3]

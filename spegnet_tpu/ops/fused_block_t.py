@@ -273,6 +273,219 @@ def _forward(xt, weights: TBlockWeights, *, heads: int, hp: int, l: int,
 
 
 # ---------------------------------------------------------------------------
+# Q-pooling stage-transition front (LN -> qkv + shortcut proj -> pooled-q
+# window attention), transposed micro-window layout
+# ---------------------------------------------------------------------------
+
+class QPoolWeights(NamedTuple):
+    """Front-half weights of a Q-pooling transition block (dim_in != dim_out
+    in general).  Same conventions as TBlockWeights."""
+
+    ln_scale: jax.Array    # [Cin, 1] f32
+    ln_bias: jax.Array     # [Cin, 1] f32
+    wqkv_t: jax.Array      # [3*H*HP, Cin]
+    bqkv_t: jax.Array      # [3*H*HP, 1]
+    wsc_t: jax.Array       # [Cout, Cin]  (shortcut projection)
+    bsc_t: jax.Array       # [Cout, 1]
+
+
+def to_t_micro(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, C, N]: ws x ws window-major, 2x2 micro-windows in
+    raster order within each window, raster within each micro-window — so a
+    2x2 max-pool group is 4 CONSECUTIVE lanes and each attention window is
+    still ws*ws consecutive lanes."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws // 2, 2, w // ws, ws // 2, 2, c)
+    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)
+    return x.reshape(b, c, h * w)
+
+
+def _group_max4(z):
+    """max over each aligned 4-lane group, valid AT GROUP-START LANES ONLY
+    (other lanes hold cross-group garbage that the caller discards)."""
+    z = jnp.maximum(z, jnp.roll(z, -1, axis=-1))
+    return jnp.maximum(z, jnp.roll(z, -2, axis=-1))
+
+
+def _sel4(n: int, dtype):
+    """[n, n/4] 0/1 matrix selecting every 4th lane: lane compaction as an
+    MXU matmul (exact — each output sums exactly one term)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n // 4), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n // 4), 1)
+    return jnp.where(row == 4 * col, 1.0, 0.0).astype(dtype)
+
+
+def _qpool_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wsc_ref,
+                  bsc_ref, o_ref, sc_ref, *, heads: int, hp: int, l: int,
+                  cw: int, scale: float, eps: float):
+    dt = o_ref.dtype
+    x = x_ref[0]                               # [Cin, T]
+    t = x.shape[1]
+
+    h1 = _ln_sub(x, lns_ref[...], lnb_ref[...], eps, dt)
+    qkv = (_mm(wqkv_ref[...], h1) + bqkv_ref[...]).astype(dt)
+    sc = (_mm(wsc_ref[...], h1) + bsc_ref[...]).astype(dt)   # [Cout, T]
+    sc_ref[0] = _mm(_group_max4(sc), _sel4(t, dt)).astype(dt)
+
+    if l < cw:
+        # pooled-row mask: pooled token j sits at lane 4j of its chunk
+        row = (4 * jax.lax.broadcasted_iota(jnp.int32, (cw // 4, cw), 0)) // l
+        col = jax.lax.broadcasted_iota(jnp.int32, (cw // 4, cw), 1) // l
+        mask = jnp.where(row == col, 0.0, _MASK_NEG)
+    else:
+        mask = None
+
+    sel = _sel4(cw, dt)
+    qp = _group_max4(qkv[:heads * hp])         # pooled q (group-start lanes)
+    for c0 in range(0, t, cw):
+        for h in range(heads):
+            q = qp[h * hp:(h + 1) * hp, c0:c0 + cw]
+            qc = jax.lax.dot_general(             # compact: [HP, CW/4]
+                q, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            k = qkv[(heads + h) * hp:(heads + h + 1) * hp, c0:c0 + cw]
+            v = qkv[(2 * heads + h) * hp:(2 * heads + h + 1) * hp,
+                    c0:c0 + cw]
+            s = jax.lax.dot_general(
+                qc, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                             # [CW/4, CW]
+            if mask is not None:
+                s = s + mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p * pl.reciprocal(denom, approx=False)).astype(dt)
+            o = jax.lax.dot_general(
+                v, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                     # [HP, CW/4]
+            o_ref[0, h * hp:(h + 1) * hp, c0 // 4:(c0 + cw) // 4] = \
+                o.astype(dt)
+
+
+def _qpool_forward(xt, weights: QPoolWeights, *, heads: int, hp: int,
+                   l: int, scale: float, eps: float,
+                   interpret: bool = False, cw: Optional[int] = None,
+                   t_cap: Optional[int] = None):
+    b, cin, n = xt.shape
+    cout = weights.wsc_t.shape[0]
+    if cw is None:
+        cw = _pick_cw(l, n)
+    t_cell = _pick_cols(n, cw, heads, t_cap or 2048)
+    grid = (b, n // t_cell)
+
+    def spec(c):
+        return pl.BlockSpec((1, c, t_cell), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    cost = pl.CostEstimate(
+        flops=2 * b * n * cin * (weights.wqkv_t.shape[0] + cout)
+        + 4 * b * heads * n * cw * hp,
+        bytes_accessed=2 * b * n * (cin + cout) * xt.dtype.itemsize,
+        transcendentals=b * heads * n * cw,
+    )
+    def out_spec(c):
+        return pl.BlockSpec((1, c, t_cell // 4), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_qpool_kernel, heads=heads, hp=hp, l=l, cw=cw,
+                          scale=scale, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((b, heads * hp, n // 4), xt.dtype),
+                   jax.ShapeDtypeStruct((b, cout, n // 4), xt.dtype)),
+        grid=grid,
+        in_specs=[spec(cin)] + [w_spec(w) for w in weights],
+        out_specs=(out_spec(heads * hp), out_spec(cout)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xt, *weights)
+
+
+def qpool_front_reference(xt, weights: QPoolWeights, *, heads: int, hp: int,
+                          l: int, scale: float, eps: float):
+    """Token-major XLA reference of the pooled front (exact, no garbage
+    lanes): backward of the custom_vjp and test oracle."""
+    b, cin, n = xt.shape
+    dt = xt.dtype
+    x = xt.transpose(0, 2, 1)                  # [B, N, Cin]
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h1 = (xc * jax.lax.rsqrt(var + eps) * weights.ln_scale[:, 0]
+          + weights.ln_bias[:, 0]).astype(dt)
+    qkv = (jnp.einsum("bnc,fc->bnf", h1, weights.wqkv_t.astype(dt),
+                      preferred_element_type=jnp.float32)
+           + weights.bqkv_t[:, 0]).astype(dt)
+    sc = (jnp.einsum("bnc,fc->bnf", h1, weights.wsc_t.astype(dt),
+                     preferred_element_type=jnp.float32)
+          + weights.bsc_t[:, 0]).astype(dt)
+    sc_p = sc.reshape(b, n // 4, 4, -1).max(axis=2)          # [B, N/4, Cout]
+
+    t = qkv.reshape(b, n // l, l, 3, heads, hp)
+    q, k, v = t[..., 0, :, :], t[..., 1, :, :], t[..., 2, :, :]
+    qp = q.reshape(b, n // l, l // 4, 4, heads, hp).max(axis=3)
+    s = jnp.einsum("bwqhd,bwkhd->bwhqk", qp, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(dt)
+    o = jnp.einsum("bwhqk,bwkhd->bwqhd", p, v,
+                   preferred_element_type=jnp.float32).astype(dt)
+    o = o.reshape(b, n // 4, heads * hp)
+    return o.transpose(0, 2, 1), sc_p.transpose(0, 2, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def qpool_front(xt, weights: QPoolWeights, heads: int, hp: int, l: int,
+                scale: float, eps: float):
+    """Fused transition front: [B, Cin, N] (micro-window layout, see
+    to_t_micro) -> (attention out [B, H*HP, N/4], shortcut [B, Cout, N/4]),
+    both in the pooled-grid ws/2 window-major ordering."""
+    return _qpool_forward(xt, weights, heads=heads, hp=hp, l=l, scale=scale,
+                          eps=eps)
+
+
+def _qpool_fwd(xt, weights, heads, hp, l, scale, eps):
+    out = _qpool_forward(xt, weights, heads=heads, hp=hp, l=l, scale=scale,
+                         eps=eps)
+    return out, (xt, weights)
+
+
+def _qpool_bwd(heads, hp, l, scale, eps, res, g):
+    xt, weights = res
+    _, vjp = jax.vjp(
+        lambda x, w: qpool_front_reference(x, w, heads=heads, hp=hp, l=l,
+                                           scale=scale, eps=eps),
+        xt, weights,
+    )
+    return vjp(g)
+
+
+qpool_front.defvjp(_qpool_fwd, _qpool_bwd)
+
+
+def qpool_supported(cin: int, heads: int, l: int, n_tok: int, dtype) -> bool:
+    """T-kernel transition front eligibility (mirrors `supported`).
+
+    l <= 64 only: the kernel computes attention over ALL query lanes (the
+    pooled values ride group-start lanes, the rest is discarded garbage), so
+    its attention work is that of an unpooled window — a huge win where the
+    decomposed path drowns in [4, 16] micro-attentions (stage-1->2: 10.5 ->
+    6.8 ms at batch 16) but a measured loss at L = 256 (stage-2->3: 3.2 ->
+    3.7 ms), where XLA's batched [64, 256] einsums are already fine."""
+    return supported(cin, heads, l, n_tok, dtype) and l % 4 == 0 and l <= 64
+
+
+# ---------------------------------------------------------------------------
 # XLA reference (identical padded math) + custom_vjp
 # ---------------------------------------------------------------------------
 

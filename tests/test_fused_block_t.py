@@ -174,3 +174,67 @@ def test_hiera_t_scan_path_vs_canonical(rng, monkeypatch):
         b = np.asarray(b, np.float32)
         scale = max(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() / scale < 0.03, np.abs(a - b).max()
+
+
+def test_qpool_front_reference_vs_fused(rng):
+    """Interpret-mode parity of the fused transition front (with its
+    garbage-lane pooling trick + ::4 compaction) vs the exact reference."""
+    cin, heads, d, ws, hw = 32, 2, 24, 4, 16
+    hp = fbt.round_hp(d)
+    cout = heads * d
+    k = jax.random.PRNGKey(3)
+    wts = fbt.QPoolWeights(
+        ln_scale=jnp.asarray(rng.standard_normal((cin, 1)).astype(np.float32) * 0.1 + 1),
+        ln_bias=jnp.asarray(rng.standard_normal((cin, 1)).astype(np.float32) * 0.1),
+        wqkv_t=jnp.asarray(np.pad(
+            rng.standard_normal((3, heads, d, cin)).astype(np.float32) * 0.2,
+            ((0, 0), (0, 0), (0, hp - d), (0, 0))).reshape(-1, cin)),
+        bqkv_t=jnp.asarray(np.pad(
+            rng.standard_normal((3, heads, d)).astype(np.float32) * 0.1,
+            ((0, 0), (0, 0), (0, hp - d))).reshape(-1, 1)),
+        wsc_t=jnp.asarray(rng.standard_normal((cout, cin)).astype(np.float32) * 0.2),
+        bsc_t=jnp.asarray(rng.standard_normal((cout, 1)).astype(np.float32) * 0.1),
+    )
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin)).astype(np.float32) * 0.5)
+    xt = fbt.to_t_micro(x, ws)
+    kw = dict(heads=heads, hp=hp, l=ws * ws, scale=d ** -0.5, eps=1e-6)
+    o_ref, sc_ref = fbt.qpool_front_reference(xt, wts, **kw)
+    o_f, sc_f = fbt.qpool_front(xt, wts, heads, hp, ws * ws, d ** -0.5, 1e-6)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_ref),
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sc_f), np.asarray(sc_ref),
+                               atol=5e-4, rtol=1e-4)
+
+    g1 = jax.grad(lambda x, w: sum(jnp.sum(t ** 2) for t in
+                                   fbt.qpool_front(x, w, heads, hp, ws * ws,
+                                                   d ** -0.5, 1e-6)),
+                  argnums=(0, 1))(xt, wts)
+    g2 = jax.grad(lambda x, w: sum(jnp.sum(t ** 2) for t in
+                                   fbt.qpool_front_reference(x, w, **kw)),
+                  argnums=(0, 1))(xt, wts)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_qpool_block_vs_decomposed(rng, monkeypatch):
+    """Whole transition MultiScaleBlock: fused T front path (forced on CPU,
+    interpret) must match the decomposed canonical path."""
+    import spegnet_tpu.ops.attention as attmod
+    from spegnet_tpu.models.hiera import MultiScaleBlock
+
+    monkeypatch.setattr(fbt, "qpool_supported",
+                        lambda cin, heads, l, n, dt: True)
+    blk = MultiScaleBlock(dim=32, dim_out=48, num_heads=2, q_stride=True,
+                          window_size=4, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)).astype(np.float32))
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    fast = blk.apply(variables, x)
+    assert fast.shape == (2, 8, 8, 48)
+
+    monkeypatch.setattr(attmod, "USE_PALLAS", "0")
+    ref = blk.apply(variables, x)
+    a = np.asarray(fast, np.float32)
+    b = np.asarray(ref, np.float32)
+    scale = max(np.abs(b).max(), 1e-3)
+    assert np.abs(a - b).max() / scale < 0.03, np.abs(a - b).max()
