@@ -541,6 +541,236 @@ def block_t_reference(xt, weights: TBlockWeights, *, heads: int, hp: int,
     return (x + y).transpose(0, 2, 1)
 
 
+# ---------------------------------------------------------------------------
+# fused backward kernel: recompute + all gradients in VMEM
+# ---------------------------------------------------------------------------
+
+# Backward path selector: "kernel" = fused Pallas backward (default on TPU),
+# "reference" = vjp through the token-major XLA reference (fallback/oracle).
+BACKWARD = "kernel"
+
+
+def _ln_fwd_stats(x, eps):
+    """LN over sublanes, returning (normalized ĥ f32, rstd f32)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=0, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=0, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    return xc * r, r
+
+
+def _ln_bwd(dy32, hhat, r, scale):
+    """Gradient w.r.t. LN input given d(LN out), all [C, T] f32.
+    scale is the LN scale [C, 1]."""
+    c = dy32.shape[0]
+    dxhat = dy32 * scale
+    m1 = jnp.sum(dxhat, axis=0, keepdims=True) / c
+    m2 = jnp.sum(dxhat * hhat, axis=0, keepdims=True) / c
+    return r * (dxhat - m1 - hhat * m2)
+
+
+def _mmT(a, b):
+    """[M, T] x [N, T] -> [M, N] (contract the token lanes), f32 accum."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _mTm(w, d):
+    """[K, M] x [K, T] -> [M, T] (contract the K sublanes), f32 accum."""
+    return jax.lax.dot_general(
+        w, d, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _bwd_kernel(x_ref, do_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref,
+                wfc2_ref, bfc2_ref,
+                dx_ref, dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref,
+                dwproj_ref, dbproj_ref, dln2s_ref, dln2b_ref, dwfc1_ref,
+                dbfc1_ref, dwfc2_ref, dbfc2_ref,
+                qkv_buf, dqkv_buf, o_buf, *, heads: int, hp: int, l: int,
+                cw: int, scale: float, eps: float, approx_gelu: bool):
+    dt = x_ref.dtype
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _zero():
+        for ref in (dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                    dbproj_ref, dln2s_ref, dln2b_ref, dwfc1_ref, dbfc1_ref,
+                    dwfc2_ref, dbfc2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[0]                                  # [C, T]
+    dout = do_ref[0]
+    t = x.shape[1]
+
+    # ---- recompute forward ------------------------------------------------
+    h1hat, r1 = _ln_fwd_stats(x, eps)
+    h1 = (h1hat * ln1s_ref[...] + ln1b_ref[...]).astype(dt)
+    qkv_buf[...] = (_mm(wqkv_ref[...], h1) + bqkv_ref[...]).astype(dt)
+
+    if l < cw:
+        row = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 0) // l
+        col = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 1) // l
+        mask = jnp.where(row == col, 0.0, _MASK_NEG)
+    else:
+        mask = None
+
+    # attention forward (P is recomputed again in the backward sweep; only
+    # the [H*HP, T] output O is kept, in scratch)
+    for c0 in range(0, t, cw):
+        for h in range(heads):
+            q = qkv_buf[h * hp:(h + 1) * hp, c0:c0 + cw]
+            k = qkv_buf[(heads + h) * hp:(heads + h + 1) * hp, c0:c0 + cw]
+            v = qkv_buf[(2 * heads + h) * hp:(2 * heads + h + 1) * hp,
+                        c0:c0 + cw]
+            s = jax.lax.dot_general(
+                q, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if mask is not None:
+                s = s + mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p * pl.reciprocal(denom, approx=False)).astype(dt)
+            o = jax.lax.dot_general(
+                v, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dt)
+            o_buf[h * hp:(h + 1) * hp, c0:c0 + cw] = o
+
+    o_all = o_buf[...]
+    pr = _mm(wproj_ref[...], o_all) + bproj_ref[...]
+    u = x + pr.astype(dt)
+    h2hat, r2 = _ln_fwd_stats(u, eps)
+    h2 = (h2hat * ln2s_ref[...] + ln2b_ref[...]).astype(dt)
+    z = (_mm(wfc1_ref[...], h2) + bfc1_ref[...]).astype(dt)
+    g, gelu_vjp = jax.vjp(
+        lambda tt: jax.nn.gelu(tt, approximate=approx_gelu), z)
+    g = g.astype(dt)
+
+    # ---- backward ---------------------------------------------------------
+    df = dout                                       # d(out)/d(fc2 out)
+    dwfc2_ref[...] += _mmT(df, g)                   # [C, hidden]
+    dbfc2_ref[...] += jnp.sum(df.astype(jnp.float32), axis=1, keepdims=True)
+    dg = _mTm(wfc2_ref[...], df).astype(dt)         # [hidden, T]
+    dz = gelu_vjp(dg)[0]
+    dwfc1_ref[...] += _mmT(dz, h2)
+    dbfc1_ref[...] += jnp.sum(dz.astype(jnp.float32), axis=1, keepdims=True)
+    dh2 = _mTm(wfc1_ref[...], dz)                   # [C, T] f32
+    dln2s_ref[...] += jnp.sum(dh2 * h2hat, axis=1, keepdims=True)
+    dln2b_ref[...] += jnp.sum(dh2, axis=1, keepdims=True)
+    du = dout.astype(jnp.float32) + _ln_bwd(dh2, h2hat, r2, ln2s_ref[...])
+    du_dt = du.astype(dt)
+
+    dwproj_ref[...] += _mmT(du_dt, o_all)
+    dbproj_ref[...] += jnp.sum(du, axis=1, keepdims=True)
+    do_all = _mTm(wproj_ref[...], du_dt).astype(dt)  # [H*HP, T]
+
+    # attention backward (recompute P per chunk/head)
+    for c0 in range(0, t, cw):
+        for h in range(heads):
+            q = qkv_buf[h * hp:(h + 1) * hp, c0:c0 + cw]
+            k = qkv_buf[(heads + h) * hp:(heads + h + 1) * hp, c0:c0 + cw]
+            v = qkv_buf[(2 * heads + h) * hp:(2 * heads + h + 1) * hp,
+                        c0:c0 + cw]
+            s = jax.lax.dot_general(
+                q, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if mask is not None:
+                s = s + mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p32 = jnp.exp(s - m)
+            denom = jnp.sum(p32, axis=-1, keepdims=True)
+            p32 = p32 * pl.reciprocal(denom, approx=False)
+            p = p32.astype(dt)
+
+            do_h = do_all[h * hp:(h + 1) * hp, c0:c0 + cw]   # [HP, CWq]
+            dp = jax.lax.dot_general(
+                do_h, v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [CWq, CWk]
+            dv = jax.lax.dot_general(
+                do_h, p, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [HP, CWk]
+            ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+            ds = (ds * scale).astype(dt)
+            dq = jax.lax.dot_general(
+                k, ds, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [HP, CWq]
+            dk = jax.lax.dot_general(
+                q, ds, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [HP, CWk]
+            dqkv_buf[h * hp:(h + 1) * hp, c0:c0 + cw] = dq.astype(dt)
+            dqkv_buf[(heads + h) * hp:(heads + h + 1) * hp,
+                     c0:c0 + cw] = dk.astype(dt)
+            dqkv_buf[(2 * heads + h) * hp:(2 * heads + h + 1) * hp,
+                     c0:c0 + cw] = dv.astype(dt)
+
+    dqkv = dqkv_buf[...]
+    dwqkv_ref[...] += _mmT(dqkv, h1)
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=1,
+                              keepdims=True)
+    dh1 = _mTm(wqkv_ref[...], dqkv)                 # [C, T] f32
+    dln1s_ref[...] += jnp.sum(dh1 * h1hat, axis=1, keepdims=True)
+    dln1b_ref[...] += jnp.sum(dh1, axis=1, keepdims=True)
+    dx = du + _ln_bwd(dh1, h1hat, r1, ln1s_ref[...])
+    dx_ref[0] = dx.astype(dt)
+
+
+def _backward(xt, weights: TBlockWeights, dout, *, heads: int, hp: int,
+              l: int, scale: float, eps: float, approx_gelu: bool,
+              interpret: bool = False):
+    b, c, n = xt.shape
+    hidden = weights.wfc1_t.shape[0]
+    cw = _pick_cw(l, n)
+    # backward holds ~2.5x the forward's tiles + f32 weight-grad
+    # accumulators in VMEM: halve the cell size.
+    t_cell = _pick_cols(n, cw, heads, 1024)
+    grid = (b, n // t_cell)
+
+    x_spec = pl.BlockSpec((1, c, t_cell), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    dw_shapes = tuple(
+        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights)
+    out_shape = (jax.ShapeDtypeStruct((b, c, n), xt.dtype),) + dw_shapes
+    out_specs = (x_spec,) + tuple(w_spec(w) for w in weights)
+
+    flops_mm = 2 * b * n * (c * weights.wqkv_t.shape[0]
+                            + heads * hp * c + 2 * c * hidden)
+    cost = pl.CostEstimate(
+        flops=3 * flops_mm + 10 * b * heads * n * cw * hp,
+        bytes_accessed=4 * b * n * c * xt.dtype.itemsize,
+        transcendentals=2 * b * heads * n * cw + b * n * hidden,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, hp=hp, l=l, cw=cw,
+                          scale=scale, eps=eps, approx_gelu=approx_gelu),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[x_spec, x_spec] + [w_spec(w) for w in weights],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((3 * heads * hp, t_cell), xt.dtype),
+                        pltpu.VMEM((3 * heads * hp, t_cell), xt.dtype),
+                        pltpu.VMEM((heads * hp, t_cell), xt.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xt, dout, *weights)
+    dx = outs[0]
+    dws = TBlockWeights(*[g.astype(w.dtype)
+                          for g, w in zip(outs[1:], weights)])
+    return dx, dws
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def fused_block_t(xt, weights: TBlockWeights, heads: int, hp: int, l: int,
                   scale: float, eps: float, approx_gelu: bool):
@@ -556,6 +786,9 @@ def _fwd(xt, weights, heads, hp, l, scale, eps, approx_gelu):
 
 def _bwd(heads, hp, l, scale, eps, approx_gelu, res, g):
     xt, weights = res
+    if BACKWARD == "kernel" and jax.default_backend() in ("tpu", "axon"):
+        return _backward(xt, weights, g, heads=heads, hp=hp, l=l,
+                         scale=scale, eps=eps, approx_gelu=approx_gelu)
     _, vjp = jax.vjp(
         lambda x, w: block_t_reference(x, w, heads=heads, hp=hp, l=l,
                                        scale=scale, eps=eps,

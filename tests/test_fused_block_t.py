@@ -238,3 +238,31 @@ def test_qpool_block_vs_decomposed(rng, monkeypatch):
     b = np.asarray(ref, np.float32)
     scale = max(np.abs(b).max(), 1e-3)
     assert np.abs(a - b).max() / scale < 0.03, np.abs(a - b).max()
+
+
+@pytest.mark.parametrize("ws,hw", [(4, 16), (0, 16)])
+def test_fused_backward_kernel_vs_reference(rng, ws, hw):
+    """The hand-derived fused backward kernel (interpret) must match the
+    autodiff of the token-major reference for dx and every weight grad."""
+    c, heads, d = 32, 2, 16
+    hp = fbt.round_hp(d)
+    weights = make_weights(rng, c, heads, d, 4 * c, hp)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32) * 0.5)
+    xt = fbt.to_t(x, ws)
+    l = ws * ws if ws else hw * hw
+    kw = dict(heads=heads, hp=hp, l=l, scale=d ** -0.5, eps=1e-6,
+              approx_gelu=True)
+    g = jnp.asarray(rng.standard_normal(xt.shape).astype(np.float32) * 0.1)
+
+    dx_k, dw_k = fbt._backward(xt, weights, g, interpret=True, **kw)
+    _, vjp = jax.vjp(lambda xx, w: fbt.block_t_reference(xx, w, **kw),
+                     xt, weights)
+    dx_r, dw_r = vjp(g)
+
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
+                               atol=2e-3, rtol=1e-3)
+    for name, a, b in zip(fbt.TBlockWeights._fields,
+                          jax.tree_util.tree_leaves(dw_k),
+                          jax.tree_util.tree_leaves(dw_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-3, err_msg=name)
