@@ -69,7 +69,9 @@ class BlockWeights(NamedTuple):
 
 
 def supported(n_windows: int, l: int, dtype) -> bool:
-    if jax.default_backend() not in ("tpu", "axon"):
+    from spegnet_tpu.ops.fused_block_t import spmd_safe
+
+    if jax.default_backend() not in ("tpu", "axon") or not spmd_safe():
         return False
     return 16 <= l <= _MAX_L
 

@@ -90,6 +90,23 @@ def round_hp(head_dim: int) -> int:
     return -(-head_dim // 16) * 16
 
 
+def spmd_safe() -> bool:
+    """Fused Pallas paths are single-device programs: under GSPMD with a
+    multi-device mesh the SPMD partitioner cannot partition a
+    tpu_custom_call (it would replicate operands or fail), so every fused
+    gate requires either no active mesh or a trivial one.  Multi-chip
+    execution takes the decomposed XLA path, which GSPMD partitions with
+    proper collectives.  (Future: shard_map the model body so per-shard
+    shapes reach the kernels.)"""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or getattr(mesh, "empty", False):
+        return True
+    try:
+        return int(mesh.size) <= 1
+    except Exception:
+        return True
+
+
 def _pick_cw(l: int, n_tok: int) -> int:
     """Attention chunk width.  Swept on-chip (tools/vpu_experiment.py):
     packing several windows into one masked 512-lane chunk beats per-window
@@ -105,7 +122,7 @@ def supported(c: int, heads: int, l: int, n_tok: int, dtype) -> bool:
     profitably?  heads > 8 (Hiera-L stage 4) is measurably slower here than
     the gen-1 lanes kernel — the unrolled per-head attention dots get too
     small — so those shapes keep the gen-1 path."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    if jax.default_backend() not in ("tpu", "axon") or not spmd_safe():
         return False
     if c % 16 or heads > 8:
         return False
@@ -786,7 +803,13 @@ def _fwd(xt, weights, heads, hp, l, scale, eps, approx_gelu):
 
 def _bwd(heads, hp, l, scale, eps, approx_gelu, res, g):
     xt, weights = res
-    if BACKWARD == "kernel" and jax.default_backend() in ("tpu", "axon"):
+    # Kernel backward currently gated to the stage-3 width: adding all four
+    # stage geometries' backward payloads to the train program makes this
+    # environment's remote compile helper kill the client (silent death,
+    # no exception) — stage 3 alone is 33 of the 45 fused blocks and the
+    # bulk of the win.  Widen when the helper tolerates it.
+    if (BACKWARD == "kernel" and xt.shape[1] >= 512
+            and jax.default_backend() in ("tpu", "axon")):
         return _backward(xt, weights, g, heads=heads, hp=hp, l=l,
                          scale=scale, eps=eps, approx_gelu=approx_gelu)
     _, vjp = jax.vjp(

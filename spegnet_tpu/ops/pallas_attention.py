@@ -187,7 +187,9 @@ fused_attention.defvjp(_fwd, _bwd)
 
 def lanes_supported(l: int, head_dim: int) -> bool:
     """Static dispatch test for the lane-padded kernel (L = tokens/window)."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    from spegnet_tpu.ops.fused_block_t import spmd_safe
+
+    if jax.default_backend() not in ("tpu", "axon") or not spmd_safe():
         return False
     if l <= _SMALL_L:
         return l >= 16
@@ -341,6 +343,10 @@ def is_supported(q: jax.Array, k: jax.Array, v: jax.Array) -> bool:
         # Abstract values during tracing: decide by backend default.
         platform = jax.default_backend()
     if platform not in ("tpu", "axon"):
+        return False
+    from spegnet_tpu.ops.fused_block_t import spmd_safe
+
+    if not spmd_safe():
         return False
     if q.ndim != 4 or q.shape != k.shape or q.shape != v.shape:
         return False
