@@ -23,6 +23,7 @@ The train step instead reads back its loss every step (a forced sync); at
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 
@@ -148,7 +149,8 @@ def attention_parity_check() -> float:
     return float(jnp.max(jnp.abs(fused - ref)))
 
 
-def main():
+def run_fwd():
+    """Inference sweep + kernel parity, one process (prints FWD_RESULT)."""
     from spegnet_tpu.models.spegnet import SPEGNet, SPEGNetConfig
 
     model = SPEGNet(SPEGNetConfig(variant="large", compute_dtype="bfloat16"))
@@ -172,16 +174,50 @@ def main():
         attn_err = attention_parity_check()
         print(f"attention parity maxerr: {attn_err:.2e}", file=sys.stderr)
     except Exception as e:
-        attn_err = None
+        attn_err = float("nan")
         print(f"attention parity check failed: {e}", file=sys.stderr)
+    print(f"FWD_RESULT {best} {best_batch} {attn_err}", flush=True)
+
+
+def _run_phase(flag: str, tag: str, timeout_s: int):
+    """Run a bench phase as a subprocess with one retry: this host
+    sporadically SIGKILLs long-lived TPU processes (no Python exception, no
+    faulthandler output — observed repeatedly), and a kill in one phase must
+    not cost the whole JSON line.  The parent NEVER initializes the TPU
+    client (one client per tunnel at a time)."""
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), flag],
+                capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            sys.stderr.write(proc.stderr)
+            for line in proc.stdout.splitlines():
+                if line.startswith(tag):
+                    return line.split()[1:]
+            print(f"{tag} phase attempt {attempt + 1} died "
+                  f"(rc={proc.returncode})", file=sys.stderr)
+        except Exception as e:
+            print(f"{tag} phase attempt {attempt + 1} failed: {e}",
+                  file=sys.stderr)
+    return None
+
+
+def main():
+    best, best_batch, attn_err = 0.0, None, None
+    fwd = _run_phase("--fwd-only", "FWD_RESULT", 2400)
+    if fwd:
+        best, best_batch = float(fwd[0]), int(fwd[1])
+        attn_err = None if fwd[2] == "nan" else float(fwd[2])
 
     train_ips = train_step_s = None
-    try:
-        train_ips, train_step_s = bench_train()
-        print(f"train: {train_ips:.1f} img/s ({train_step_s:.3f} s/step @ batch 8)",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"train bench failed: {e}", file=sys.stderr)
+    time.sleep(20)  # let phase 1's TPU client finish tearing down the tunnel
+    tr = _run_phase("--train-only", "TRAIN_RESULT", 1500)
+    if tr:
+        train_ips, train_step_s = float(tr[0]), float(tr[1])
+        print(f"train: {train_ips:.1f} img/s "
+              f"({train_step_s:.3f} s/step @ batch 8)", file=sys.stderr)
 
     result = {
         "metric": "images_per_sec_per_chip_512",
@@ -200,4 +236,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train-only" in sys.argv:
+        ips, step_s = bench_train()
+        print(f"TRAIN_RESULT {ips} {step_s}", flush=True)
+    elif "--fwd-only" in sys.argv:
+        run_fwd()
+    else:
+        main()
