@@ -111,9 +111,14 @@ def pick_canvas(sizes: np.ndarray, buckets: Sequence[int]) -> Tuple[int, int]:
 
 @dataclasses.dataclass
 class TrainBatch:
-    images: np.ndarray     # [B, S, S, 3] float32, normalized
-    masks: np.ndarray      # [B, Hc, Wc] float32 {0,1}
-    edges: np.ndarray      # [B, Hc, Wc] float32 {0,1}
+    """Wire dtypes are chosen for host->device bandwidth (the training step
+    casts on device): images may be bfloat16 when the model computes in bf16
+    (bitwise-identical to casting f32 on device), masks/edges may be uint8
+    (exact: they are binarized {0,1}).  The loss casts both to f32 on chip."""
+
+    images: np.ndarray     # [B, S, S, 3] float32 or bfloat16, normalized
+    masks: np.ndarray      # [B, Hc, Wc] float32/uint8 {0,1}
+    edges: np.ndarray      # [B, Hc, Wc] float32/uint8 {0,1}
     mask_hw: np.ndarray    # [B, 2] int32
     edge_hw: np.ndarray    # [B, 2] int32
 
@@ -133,6 +138,8 @@ class EvalBatch:
 def _make_train_batch(
     samples: List[Sample], proc: ImageProcessor, buckets: Sequence[int],
     executor: Optional[ThreadPoolExecutor],
+    image_dtype: np.dtype = np.float32,
+    gt_dtype: np.dtype = np.float32,
 ) -> TrainBatch:
     def load(s: Sample):
         return (
@@ -146,12 +153,12 @@ def _make_train_batch(
     sizes = np.asarray([m.shape for _, m, _ in loaded], np.int32)
     esizes = np.asarray([e.shape for _, _, e in loaded], np.int32)
     hc, wc = pick_canvas(np.concatenate([sizes, esizes]), buckets)
-    images = np.stack([im for im, _, _ in loaded]).astype(np.float32)
-    masks = np.zeros((b, hc, wc), np.float32)
-    edges = np.zeros((b, hc, wc), np.float32)
+    images = np.stack([im for im, _, _ in loaded]).astype(image_dtype)
+    masks = np.zeros((b, hc, wc), gt_dtype)
+    edges = np.zeros((b, hc, wc), gt_dtype)
     for i, (_, m, e) in enumerate(loaded):
-        masks[i, : m.shape[0], : m.shape[1]] = m
-        edges[i, : e.shape[0], : e.shape[1]] = e
+        masks[i, : m.shape[0], : m.shape[1]] = m.astype(gt_dtype)
+        edges[i, : e.shape[0], : e.shape[1]] = e.astype(gt_dtype)
     return TrainBatch(images, masks, edges, sizes, esizes)
 
 
@@ -239,9 +246,12 @@ def train_loader(
     seed: int = 0,
     num_workers: int = 4,
     prefetch: int = 2,
+    image_dtype: np.dtype = np.float32,
+    gt_dtype: np.dtype = np.float32,
 ) -> Iterator[TrainBatch]:
     """One epoch of TrainBatches (prefetched).  Reshuffles by (seed, epoch):
-    call again with a new seed for the next epoch."""
+    call again with a new seed for the next epoch.  ``image_dtype``/
+    ``gt_dtype`` pick the host->device wire dtypes (see TrainBatch)."""
     executor = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
 
     def gen():
@@ -250,7 +260,8 @@ def train_loader(
             np.random.default_rng(seed).shuffle(order)
         for i in range(0, len(order), batch_size):
             chunk = [dataset.samples[j] for j in order[i: i + batch_size]]
-            yield _make_train_batch(chunk, processor, buckets, executor)
+            yield _make_train_batch(chunk, processor, buckets, executor,
+                                    image_dtype, gt_dtype)
 
     return iter(_Prefetcher(gen, prefetch))
 

@@ -188,23 +188,56 @@ class Evaluator:
 
         return shard_batch(tuple(np.asarray(a) for a in arrays), self.mesh)
 
-    def _warmup(self):
-        """3 warm-up passes (reference: evaluator.py:355-363) — here they also
-        pay the XLA compile for the standard 512-canvas shape."""
+    def _warm_canvas(self, hc: int, wc: int, passes: int = 1):
+        """Pay the XLA compile for one canvas shape with a zero batch."""
         s = self.target_size
         b = self.batch_size
         dev = self._put((
             np.zeros((b, s, s, 3), np.float32),
-            np.zeros((b, s, s), np.float32),
-            np.full((b, 2), s, np.int32),
-            np.zeros((b, s, s), np.float32),
-            np.zeros((b, s, s), np.int32),
+            np.zeros((b, hc, wc), np.float32),
+            np.full((b, 2), min(hc, wc), np.int32),
+            np.zeros((b, hc, wc), np.float32),
+            np.zeros((b, hc, wc), np.int32),
         ))
         with self._mesh_scope():
-            for _ in range(3):
+            for _ in range(passes):
                 out = self._eval_step(self.variables, *dev)
         jax.block_until_ready(out)
-        self._seen_canvases.add((s, s))
+        self._seen_canvases.add((hc, wc))
+
+    def _warmup(self):
+        """3 warm-up passes (reference: evaluator.py:355-363) — here they also
+        pay the XLA compile for the standard 512-canvas shape."""
+        self._warm_canvas(self.target_size, self.target_size, passes=3)
+
+    def _prewarm_dataset_canvases(self, dataset: CODDataset):
+        """Compile every canvas bucket this dataset will hit BEFORE the timed
+        evaluation loop: without this, the first batch of each new canvas
+        shape (640/768/... buckets) pays its XLA compile as a user-visible
+        mid-evaluation stall (round-2 verdict minor #5).  Canvas choice
+        reproduces the loader's bucketing from header-only mask size reads."""
+        from spegnet_tpu.data.pipeline import pick_canvas
+
+        try:
+            from PIL import Image
+        except ImportError:  # pragma: no cover
+            return
+        canvases = set()
+        try:
+            for i in range(0, len(dataset), self.batch_size):
+                chunk = dataset.samples[i: i + self.batch_size]
+                sizes = []
+                for smp in chunk:
+                    with Image.open(smp.mask_path or smp.image_path) as im:
+                        w, h = im.size
+                    sizes.append((h, w))
+                canvases.add(pick_canvas(np.asarray(sizes, np.int64), self.buckets))
+        except Exception as e:  # pragma: no cover - never block eval on this
+            logger.warning(f"Canvas prewarm scan failed: {e}")
+            return
+        for hc, wc in sorted(canvases - self._seen_canvases):
+            logger.info(f"Pre-compiling canvas {hc}x{wc}")
+            self._warm_canvas(hc, wc)
 
     def _denormalize(self, image: np.ndarray) -> np.ndarray:
         return np.clip((image * self.std + self.mean) * 255.0, 0, 255).astype(np.uint8)
@@ -212,6 +245,7 @@ class Evaluator:
     def evaluate(self, dataset: CODDataset, dataset_name: str,
                  loader: Optional[Iterable[EvalBatch]] = None) -> Dict[str, float]:
         self.result_manager.setup_dataset_directories(dataset_name)
+        self._prewarm_dataset_canvases(dataset)
         totals = {k: 0.0 for k in METRIC_KEYS}
         counts = {"good": 0, "medium": 0, "bad": 0}
         n_samples = 0

@@ -419,7 +419,7 @@ class MultiScaleBlock(nn.Module):
             and USE_PALLAS in ("auto", "1")
             and self.dtype == jnp.bfloat16
             and fbt.qpool_supported(self.dim, self.num_heads, l, h * w,
-                                    self.dtype)
+                                    self.dtype, batch=x.shape[0])
         )
         if use_qpool_t:
             # Fused transition front (ops/fused_block_t.py): LN -> qkv +
@@ -463,12 +463,14 @@ class MultiScaleBlock(nn.Module):
             y = nn.gelu(y, approximate=approx_gelu)
             y = fc2(y)
             return x2 + y
+        n_rows = x.shape[0] * ((h // ws) * (w // ws) if ws > 0 else 1) \
+            if divisible else 0
         use_fused = (
             self.dim == self.dim_out
             and not self.q_stride
             and USE_PALLAS in ("auto", "1")
             and divisible
-            and fb.supported(1, l, self.dtype)
+            and fb.supported(1, l, self.dtype, batch_rows=n_rows)
         )
         if use_fused:
             b = x.shape[0]
@@ -677,7 +679,7 @@ class Hiera(nn.Module):
                 and (ws_i == 0 or (h % ws_i == 0 and w % ws_i == 0))
                 and self.dtype == jnp.bfloat16
                 and fbt.supported(sp["dim"], sp["heads"], l_i, h * w,
-                                  self.dtype)
+                                  self.dtype, batch=x.shape[0])
             )
             fits = can_t and (t_order is None or ws_i == 0
                               or ws_i == t_order)

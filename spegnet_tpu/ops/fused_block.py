@@ -68,11 +68,22 @@ class BlockWeights(NamedTuple):
     bfc2: jax.Array        # [C]
 
 
-def supported(n_windows: int, l: int, dtype) -> bool:
-    from spegnet_tpu.ops.fused_block_t import spmd_safe
+def supported(n_windows: int, l: int, dtype,
+              batch_rows: int | None = None) -> bool:
+    """Gen-1 whole-block kernel eligibility.  Under a >1-device GSPMD mesh
+    the kernel runs inside a shard_map over 'data' (see
+    fused_block_t.spmd_mode); the leading [B*windows] dim must divide it."""
+    from spegnet_tpu.ops.fused_block_t import INTERPRET, spmd_mode
 
-    if jax.default_backend() not in ("tpu", "axon") or not spmd_safe():
+    if jax.default_backend() not in ("tpu", "axon") and not INTERPRET:
         return False
+    mode = spmd_mode()
+    if mode == "unsupported":
+        return False
+    if isinstance(mode, tuple):
+        n_data = int(mode[0].shape["data"])
+        if batch_rows is None or batch_rows % n_data or batch_rows < n_data:
+            return False
     return 16 <= l <= _MAX_L
 
 
@@ -159,7 +170,11 @@ def _pick_wins(n: int, l: int, c: int, heads: int, hp: int, hidden: int,
 
 
 def _forward(x, weights: BlockWeights, *, heads: int, hp: int, scale: float,
-             eps: float, approx_gelu: bool):
+             eps: float, approx_gelu: bool, interpret: bool | None = None):
+    if interpret is None:
+        from spegnet_tpu.ops.fused_block_t import INTERPRET
+
+        interpret = INTERPRET
     n, l, c = x.shape
     hidden = weights.wfc1.shape[1]
     wins = _pick_wins(n, l, c, heads, hp, hidden, x.dtype.itemsize)
@@ -192,6 +207,7 @@ def _forward(x, weights: BlockWeights, *, heads: int, hp: int, scale: float,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=cost,
+        interpret=interpret,
     )(x, *weights)
 
 
@@ -228,16 +244,30 @@ def block_reference(x, weights: BlockWeights, *, heads: int, hp: int,
     return x + y
 
 
+def _forward_spmd(x, weights: BlockWeights, **kw):
+    from jax.sharding import PartitionSpec as P
+
+    from spegnet_tpu.ops.fused_block_t import spmd_mode
+
+    mode = spmd_mode()
+    if not isinstance(mode, tuple):
+        return _forward(x, weights, **kw)
+    mesh, axes = mode
+    fn = functools.partial(_forward, **kw)
+    return jax.shard_map(fn, mesh=mesh, in_specs=(P(axes), P()),
+                         out_specs=P(axes), check_vma=False)(x, weights)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def fused_block(x, weights: BlockWeights, heads: int, hp: int, scale: float,
                 eps: float, approx_gelu: bool):
-    return _forward(x, weights, heads=heads, hp=hp, scale=scale, eps=eps,
-                    approx_gelu=approx_gelu)
+    return _forward_spmd(x, weights, heads=heads, hp=hp, scale=scale, eps=eps,
+                         approx_gelu=approx_gelu)
 
 
 def _fwd(x, weights, heads, hp, scale, eps, approx_gelu):
-    out = _forward(x, weights, heads=heads, hp=hp, scale=scale, eps=eps,
-                   approx_gelu=approx_gelu)
+    out = _forward_spmd(x, weights, heads=heads, hp=hp, scale=scale, eps=eps,
+                        approx_gelu=approx_gelu)
     return out, (x, weights)
 
 

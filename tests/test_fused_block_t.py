@@ -156,7 +156,7 @@ def test_hiera_t_scan_path_vs_canonical(rng, monkeypatch):
 
     monkeypatch.setattr(
         fbt, "supported",
-        lambda c, heads, l, n_tok, dtype: (
+        lambda c, heads, l, n_tok, dtype, batch=None: (
             c % 16 == 0 and (128 % l == 0 if l < 128 else l % 128 == 0)
             and fbt._pick_cw(l, n_tok) % max(l, 128) == 0
             and n_tok % fbt._pick_cw(l, n_tok) == 0),
@@ -224,7 +224,7 @@ def test_qpool_block_vs_decomposed(rng, monkeypatch):
     from spegnet_tpu.models.hiera import MultiScaleBlock
 
     monkeypatch.setattr(fbt, "qpool_supported",
-                        lambda cin, heads, l, n, dt: True)
+                        lambda cin, heads, l, n, dt, batch=None: True)
     blk = MultiScaleBlock(dim=32, dim_out=48, num_heads=2, q_stride=True,
                           window_size=4, dtype=jnp.bfloat16)
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)).astype(np.float32))
