@@ -100,17 +100,15 @@ def bench_train(batch: int = 8, size: int = 512, steps: int = 3):
             "loss": {},
         },
     }
-    import ml_dtypes
-
     rng = np.random.default_rng(0)
     masks = np.zeros((batch, size, size), np.uint8)
     masks[:, size // 4: -size // 4, size // 4: -size // 4] = 1
     edges = np.zeros_like(masks)
     edges[:, size // 4, size // 4: -size // 4] = 1
-    # Wire dtypes as the real loader ships them: bf16 images, uint8 GTs.
+    # Wire dtypes as the real loader ships them: u8 images (normalized on
+    # device), uint8 GTs.
     tb = TrainBatch(
-        images=rng.standard_normal((batch, size, size, 3))
-        .astype(ml_dtypes.bfloat16),
+        images=rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8),
         masks=masks, edges=edges,
         mask_hw=np.full((batch, 2), size, np.int32),
         edge_hw=np.full((batch, 2), size, np.int32),

@@ -83,6 +83,28 @@ class ImageProcessor:
         arr = np.swapaxes(np.tensordot(a_w, arr, axes=(1, 1)), 0, 1)  # [S, S, 3]
         return (arr - self.mean) / self.std
 
+    def process_image_u8(self, path: str) -> np.ndarray:
+        """Resized-but-unnormalized image, quantized to uint8 (the compact
+        train wire): u8 -> [0,1] -> AA resize -> round(x*255).  The device
+        side computes (u8/255 - mean)/std, so the only deviation from the
+        f32 pipeline is the one round() — at most 1/510 in [0,1] pixel space
+        (~0.009 sigma after normalization), below the bf16 resolution the
+        compute path quantizes to anyway."""
+        img = Image.open(path).convert("RGB")
+        rgb = np.asarray(img, np.uint8)
+        from spegnet_tpu import native
+
+        zero = np.zeros(3, np.float32)
+        one = np.ones(3, np.float32)
+        out = native.preprocess_image(rgb, self.target_size, zero, one)
+        if out is None:
+            arr = rgb.astype(np.float32) / 255.0
+            a_h = self._matrix(arr.shape[0])
+            a_w = self._matrix(arr.shape[1])
+            arr = np.tensordot(a_h, arr, axes=(1, 0))
+            out = np.swapaxes(np.tensordot(a_w, arr, axes=(1, 1)), 0, 1)
+        return np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
+
     def process_mask(self, path: str) -> np.ndarray:
         mask = Image.open(path).convert("L")
         return (np.asarray(mask, np.float32) > 127.5).astype(np.float32)
@@ -141,9 +163,12 @@ def _make_train_batch(
     image_dtype: np.dtype = np.float32,
     gt_dtype: np.dtype = np.float32,
 ) -> TrainBatch:
+    image_u8 = np.dtype(image_dtype) == np.uint8
+
     def load(s: Sample):
         return (
-            proc.process_image(s.image_path),
+            proc.process_image_u8(s.image_path) if image_u8
+            else proc.process_image(s.image_path),
             proc.process_mask(s.mask_path),
             proc.process_mask(s.edge_path),
         )

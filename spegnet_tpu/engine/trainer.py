@@ -308,13 +308,23 @@ class Trainer:
     def _build_steps(self):
         model, loss_cfg = self.model, self.loss_cfg
         tx, lr_tree, gidx_tree = self.tx, self.lr_tree, self.group_idx_tree
+        mean = jnp.asarray(self.processor.mean)
+        std = jnp.asarray(self.processor.std)
+
+        def prep(images):
+            # uint8 wire: normalization moved on-device (same math as the
+            # host pipeline: x/255 -> (x - mean)/std, f32 before the model's
+            # compute-dtype cast).
+            if images.dtype == jnp.uint8:
+                return (images.astype(jnp.float32) / 255.0 - mean) / std
+            return images
 
         def train_step(params, batch_stats, opt_state, scales,
                        images, masks, edges, mask_hw, edge_hw, sample_w):
             def loss_fn(p):
                 out, mut = model.apply(
                     {"params": p, "batch_stats": batch_stats},
-                    images, train=True, mutable=["batch_stats"],
+                    prep(images), train=True, mutable=["batch_stats"],
                 )
                 ld = cod_loss(out["predictions"], out["edge"], masks, edges,
                               mask_hw, edge_hw, loss_cfg, sample_w)
@@ -333,7 +343,8 @@ class Trainer:
 
         def val_step(params, batch_stats, images, masks, edges, mask_hw, edge_hw,
                      dst, nearest_idx, sample_w):
-            out = model.apply({"params": params, "batch_stats": batch_stats}, images)
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              prep(images))
             ld = cod_loss(out["predictions"], out["edge"], masks, edges,
                           mask_hw, edge_hw, loss_cfg, sample_w)
             canvas = masks.shape[1:3]
@@ -528,14 +539,23 @@ class Trainer:
         num_workers = self.config.get("num_workers", 4)
         val_metrics = None
 
-        # Wire dtypes: bf16 images when the model computes in bf16 (bitwise
-        # identical to casting on device) and uint8 {0,1} ground truths
-        # (exact) — 42 -> ~17 MB per batch-8 host->device transfer.
-        image_dtype: Any = np.float32
-        if self.model.config.dtype == jnp.bfloat16:
+        # Wire dtypes (training.image_wire: u8 | bf16 | f32).  u8 ships
+        # resized-unnormalized pixels and normalizes on device (~0.009 sigma
+        # quantization, below the bf16 compute resolution — default for bf16
+        # training); bf16 is bitwise-identical to the on-device cast; ground
+        # truths always ship uint8 {0,1} (exact).  42 -> ~11 MB per batch-8
+        # host->device transfer.
+        wire = self.config.get(
+            "image_wire",
+            "u8" if self.model.config.dtype == jnp.bfloat16 else "f32")
+        if wire == "u8":
+            image_dtype: Any = np.uint8
+        elif wire == "bf16":
             import ml_dtypes
 
             image_dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            image_dtype = np.float32
 
         for epoch in range(self.start_epoch, self.num_epochs):
             loader = train_loader(

@@ -98,9 +98,14 @@ class DecoderBlock(nn.Module):
                             name="conv1")
         kernel = conv1.kernel.astype(self.dtype)
 
+        # NOTE: the polyphase (s2d-output) form was measured and REJECTED at
+        # the full-model level: isolated micros say its matmuls are ~2x
+        # faster for Cout <= 128 (tools/dec_s2d_micro.py), but the d2s
+        # materialization broke XLA fusion and net-cost ~0.2-0.9 ms/img
+        # (160.5 -> 156.1/139.8 img/s) — the lhs-dilated composed conv stays.
+        # upsample2x_conv3x3_sum remains available (exact, tested).
         y = upsample2x_conv3x3(
-            x, kernel[:, :, :cx], bias=conv1.bias.astype(self.dtype)
-        )
+            x, kernel[:, :, :cx], bias=conv1.bias.astype(self.dtype))
         if edge_features is not None:
             k_edge = kernel[:, :, cx:]
             if edge_features.shape[1:3] == (h, w):

@@ -54,28 +54,13 @@ def _conv(x, k, padding, lhs_dilation=None):
     )
 
 
-def upsample2x_conv3x3(x: jax.Array, kernel: jax.Array,
-                       bias: jax.Array | None = None) -> jax.Array:
-    """Exactly `conv3x3(resize_bilinear(x, 2x), kernel) [+ bias]`, NHWC,
-    SAME zero padding on the conv — without materializing the upsample."""
+def _border_strips(x: jax.Array, k3: jax.Array):
+    """Exact outermost-output-row/col strips of conv3x3(up2(x)): the composed
+    forms see bilinear-extended values where the plain conv's zero padding
+    should see zeros — only these four strips differ.  Returns
+    (y_top [B,1,2W,Co], y_bot [B,1,2W,Co], y_left [B,2H,1,Co],
+    y_right [B,2H,1,Co]) in x.dtype."""
     dt = x.dtype
-    k3 = kernel.astype(jnp.float32)
-    ke = _compose_kernel(k3).astype(dt)
-
-    # NOTE on the rejected polyphase alternative: computing the four output
-    # phases as one dense [3, 3, Cin, 4*Cout] conv runs the matmuls ~2x
-    # faster for Cout <= 128 (the lhs-dilated form half-fills the MXU's
-    # 128-lane output tiles), but the depth-to-space back to NHWC costs MORE
-    # than the saving: a [.., 2W, 64] <-> [.., W, 128] reinterpretation is a
-    # lane-RETILING in XLA's (8, 128)-tiled layout (measured +4.2 ms at
-    # 256->512/64ch vs the conv's -3.9 ms).  The lhs-dilated conv writes the
-    # half-filled tiles directly from the MXU, so it stays.
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    y = _conv(xp, ke, [(1, 1), (1, 1)], lhs_dilation=(2, 2))
-    y = y.astype(dt)
-
-    # --- exact border strips -------------------------------------------
-    # u rows 0..1 / last two, cols 0..1 / last two (torch up2 semantics).
     x32 = x.astype(jnp.float32)
     k3dt = k3.astype(dt)
 
@@ -99,16 +84,134 @@ def upsample2x_conv3x3(x: jax.Array, kernel: jax.Array,
     y_bot = _conv(u_bot, k3dt[0:2], [(0, 0), (1, 1)]).astype(dt)
     y_left = _conv(u_left, k3dt[:, 1:3], [(1, 1), (0, 0)]).astype(dt)
     y_right = _conv(u_right, k3dt[:, 0:2], [(1, 1), (0, 0)]).astype(dt)
+    return y_top, y_bot, y_left, y_right
 
-    # Paste via broadcasted selects (ONE fused elementwise pass) instead of
-    # chained dynamic-update-slices, which XLA executed as full-tensor copies
-    # (~5 ms at the 512² stage, measured).  Left/right outermost so they win
-    # at the corners, matching the previous paste order.
+
+def upsample2x_conv3x3(x: jax.Array, kernel: jax.Array,
+                       bias: jax.Array | None = None) -> jax.Array:
+    """Exactly `conv3x3(resize_bilinear(x, 2x), kernel) [+ bias]`, NHWC,
+    SAME zero padding on the conv — without materializing the upsample."""
+    dt = x.dtype
+    k3 = kernel.astype(jnp.float32)
+    ke = _compose_kernel(k3).astype(dt)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = _conv(xp, ke, [(1, 1), (1, 1)], lhs_dilation=(2, 2))
+    y = y.astype(dt)
+
+    y = _paste_borders(y, _border_strips(x, k3))
+    if bias is not None:
+        y = y + bias.astype(dt)
+    return y
+
+
+def _paste_borders(y: jax.Array, strips) -> jax.Array:
+    """Paste the four exact border strips into NHWC y via broadcasted selects
+    (ONE fused elementwise pass) instead of chained dynamic-update-slices,
+    which XLA executed as full-tensor copies (~5 ms at the 512² stage,
+    measured).  Left/right outermost so they win at the corners."""
+    y_top, y_bot, y_left, y_right = strips
     ho, wo = y.shape[1:3]
     row = jax.lax.broadcasted_iota(jnp.int32, (1, ho, 1, 1), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wo, 1), 2)
     y = jnp.where(row == 0, y_top, jnp.where(row == ho - 1, y_bot, y))
     y = jnp.where(col == 0, y_left, jnp.where(col == wo - 1, y_right, y))
+    return y
+
+
+def _poly_core(x: jax.Array, k3: jax.Array) -> jax.Array:
+    """Raw polyphase conv: [B, S, S, Cin] -> [B, S, S, 4*Cout] in s2d
+    (py, px, co) layout, WITHOUT border repair or bias.  Interior-exact;
+    the outermost output rows/cols need _border_strips pasted on top."""
+    dt = x.dtype
+    cin = x.shape[-1]
+    co = k3.shape[-1]
+    ke = _compose_kernel(k3)  # [6, 6, Cin, Cout] f32
+
+    # Phase kernels: out[2j + p] = sum_u ke[2u + (1 - p)] xp[j + u]
+    # (xp = edge-pad(x, 1)); stacked as channels (py, px, co).
+    kp = jnp.stack([jnp.stack([
+        ke[1 - py::2, 1 - px::2] for px in (0, 1)], 0) for py in (0, 1)], 0)
+    kp = kp.transpose(2, 3, 4, 0, 1, 5).reshape(3, 3, cin, 4 * co).astype(dt)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    return _conv(xp, kp, [(0, 0), (0, 0)]).astype(dt)
+
+
+def upsample2x_conv3x3_sum(parts, bias: jax.Array | None = None) -> jax.Array:
+    """Exactly ``sum_i conv3x3(resize_bilinear(x_i, 2x), k_i) [+ bias]`` for
+    same-spatial-shape inputs, via the polyphase core: the per-part matmuls
+    run ~2x faster than the lhs-dilated composed conv when Cout <= 128 (they
+    fill the MXU's 128 output lanes with 4*Cout), the parts sum in s2d space,
+    and ONE depth-to-space + ONE NHWC border paste finish the job.  The s2d
+    tensor is never sliced per phase — the earlier per-phase paste+concat in
+    s2d space cost ~1 ms/img more than this at the full-model level."""
+    dt = parts[0][0].dtype
+    ys = None
+    strips = None
+    for x, kernel in parts:
+        k3 = kernel.astype(jnp.float32)
+        y = _poly_core(x, k3)
+        st = _border_strips(x, k3)
+        ys = y if ys is None else ys + y
+        strips = st if strips is None else tuple(
+            a + b for a, b in zip(strips, st))
+    y = _paste_borders(d2s_nhwc(ys), strips)
     if bias is not None:
         y = y + bias.astype(dt)
     return y
+
+
+def upsample2x_conv3x3_s2d(x: jax.Array, kernel: jax.Array,
+                           bias: jax.Array | None = None) -> jax.Array:
+    """Exactly ``space_to_depth(conv3x3(resize_bilinear(x, 2x)))``:
+    [B, S, S, Cin] -> [B, S, S, 4*Cout], channel layout (py, px, co)
+    phase-major (out[b, 2i+py, 2j+px, c] == ret[b, i, j, (2*py+px)*Co + c]).
+
+    The polyphase form runs the matmuls ~2x faster than the lhs-dilated
+    composed conv when Cout <= 128 (the lhs-dilated form phase-decomposes to
+    per-phase convs whose Cout half-fills the MXU's 128-lane output tiles;
+    the poly kernel's 4*Cout output dim fills them) — measured on v5e at
+    batch 16: 8.04 -> 4.13 ms (256², 128->64), 6.18 -> 5.01 ms (128²,
+    320->128).  The depth-to-space back (d2s_nhwc) costs 0.9-1.75 ms at
+    those shapes, keeping the net win (tools/dec_s2d_micro.py).
+    """
+    dt = x.dtype
+    b, hs, ws, cin = x.shape
+    co = kernel.shape[-1]
+    k3 = kernel.astype(jnp.float32)
+    y = _poly_core(x, k3)  # [B, S, S, 4Co]
+
+    # Exact border repair, pasted per phase block (see _border_strips).
+    y_top, y_bot, y_left, y_right = _border_strips(x, k3)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, hs, 1, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ws, 1), 2)
+    blocks = []
+    for py in (0, 1):
+        for px in (0, 1):
+            blk = y[..., (2 * py + px) * co: (2 * py + px + 1) * co]
+            if py == 0:  # true row 0 lives in phase py=0, cell row 0
+                blk = jnp.where(row == 0, y_top[:, :, px::2], blk)
+            else:        # true row 2H-1: phase py=1, cell row H-1
+                blk = jnp.where(row == hs - 1, y_bot[:, :, px::2], blk)
+            if px == 0:
+                blk = jnp.where(col == 0, y_left[:, py::2], blk)
+            else:
+                blk = jnp.where(col == ws - 1, y_right[:, py::2], blk)
+            blocks.append(blk)
+    y = jnp.concatenate(blocks, axis=-1)
+    if bias is not None:
+        y = y + jnp.tile(bias, 4).astype(dt)
+    return y
+
+
+def d2s_nhwc(y_s2d: jax.Array) -> jax.Array:
+    """[B, S, S, 4C] (py, px, c) -> [B, 2S, 2S, C]: inverse of the s2d
+    layout produced by upsample2x_conv3x3_s2d.  Cheap when the contiguous
+    channel chunk (C) is >= a full 128-lane tile or the data is small
+    (measured 0.40/0.90/1.75 ms at the three decoder geometries, batch 16)."""
+    b, hs, ws, c4 = y_s2d.shape
+    c = c4 // 4
+    y = y_s2d.reshape(b, hs, ws, 2, 2, c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * hs, 2 * ws, c)

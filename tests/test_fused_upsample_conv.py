@@ -46,3 +46,53 @@ def test_gradients_match(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("h,w,cin,cout", [
+    (8, 8, 16, 8),
+    (6, 10, 4, 9),     # non-square stresses the per-phase border paste
+    (2, 2, 3, 4),      # minimum size (border strips touch everything)
+])
+def test_s2d_form_matches_resize_then_conv(rng, h, w, cin, cout):
+    from spegnet_tpu.ops.fused_upsample_conv import (
+        d2s_nhwc,
+        upsample2x_conv3x3_s2d,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32)) * 0.2
+    b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+    want = np.asarray(reference(x, k, b))
+    got = np.asarray(d2s_nhwc(upsample2x_conv3x3_s2d(x, k, b)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_sum_form_matches_sum_of_resize_then_conv(rng):
+    from spegnet_tpu.ops.fused_upsample_conv import upsample2x_conv3x3_sum
+
+    x1 = jnp.asarray(rng.standard_normal((2, 6, 10, 16)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((2, 6, 10, 4)).astype(np.float32))
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 16, 8)).astype(np.float32)) * 0.2
+    k2 = jnp.asarray(rng.standard_normal((3, 3, 4, 8)).astype(np.float32)) * 0.2
+    b = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+    want = np.asarray(reference(x1, k1, b)) + np.asarray(reference(x2, k2, None))
+    got = np.asarray(upsample2x_conv3x3_sum([(x1, k1), (x2, k2)], bias=b))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_s2d_gradients_match(rng):
+    from spegnet_tpu.ops.fused_upsample_conv import (
+        d2s_nhwc,
+        upsample2x_conv3x3_s2d,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 4)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 4, 8)).astype(np.float32)) * 0.2
+
+    g1 = jax.grad(lambda x, k: jnp.sum(
+        d2s_nhwc(upsample2x_conv3x3_s2d(x, k)) ** 2), argnums=(0, 1))(x, k)
+    g2 = jax.grad(lambda x, k: jnp.sum(reference(x, k, None) ** 2),
+                  argnums=(0, 1))(x, k)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
