@@ -106,10 +106,12 @@ def bench_train(batch: int = 8, size: int = 512, steps: int = 3):
     edges = np.zeros_like(masks)
     edges[:, size // 4, size // 4: -size // 4] = 1
     # Wire dtypes as the real loader ships them: u8 images (normalized on
-    # device), uint8 GTs.
+    # device), bit-packed uint8 GTs.
+    from spegnet_tpu.ops.bitpack import pack_gt
+
     tb = TrainBatch(
         images=rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8),
-        masks=masks, edges=edges,
+        masks=pack_gt(masks), edges=pack_gt(edges),
         mask_hw=np.full((batch, 2), size, np.int32),
         edge_hw=np.full((batch, 2), size, np.int32),
     )

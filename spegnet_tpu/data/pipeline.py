@@ -134,13 +134,15 @@ def pick_canvas(sizes: np.ndarray, buckets: Sequence[int]) -> Tuple[int, int]:
 @dataclasses.dataclass
 class TrainBatch:
     """Wire dtypes are chosen for host->device bandwidth (the training step
-    casts on device): images may be bfloat16 when the model computes in bf16
-    (bitwise-identical to casting f32 on device), masks/edges may be uint8
-    (exact: they are binarized {0,1}).  The loss casts both to f32 on chip."""
+    casts on device): images may be uint8 resized-unnormalized (normalized
+    on device) or bfloat16 normalized (bitwise-identical to casting f32 on
+    device); uint8 masks/edges are {0,1} BIT-PACKED along H (exact — see
+    ops/bitpack.py; train_step unpacks on device).  The loss casts both to
+    f32 on chip."""
 
-    images: np.ndarray     # [B, S, S, 3] float32 or bfloat16, normalized
-    masks: np.ndarray      # [B, Hc, Wc] float32/uint8 {0,1}
-    edges: np.ndarray      # [B, Hc, Wc] float32/uint8 {0,1}
+    images: np.ndarray     # [B, S, S, 3] float32, bfloat16, or uint8
+    masks: np.ndarray      # [B, Hc, Wc] float32 {0,1} | [B, Hc/8, Wc] uint8 packed
+    edges: np.ndarray      # [B, Hc, Wc] float32 {0,1} | [B, Hc/8, Wc] uint8 packed
     mask_hw: np.ndarray    # [B, 2] int32
     edge_hw: np.ndarray    # [B, 2] int32
 
@@ -184,6 +186,12 @@ def _make_train_batch(
     for i, (_, m, e) in enumerate(loaded):
         masks[i, : m.shape[0], : m.shape[1]] = m.astype(gt_dtype)
         edges[i, : e.shape[0], : e.shape[1]] = e.astype(gt_dtype)
+    if np.dtype(gt_dtype) == np.uint8:
+        # uint8 train wire contract: {0,1} GTs ship bit-packed along H
+        # (8x smaller over the ~51 MB/s tunnel; train_step unpacks).
+        from spegnet_tpu.ops.bitpack import pack_gt
+
+        masks, edges = pack_gt(masks), pack_gt(edges)
     return TrainBatch(images, masks, edges, sizes, esizes)
 
 

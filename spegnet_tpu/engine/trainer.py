@@ -183,10 +183,16 @@ class Trainer:
         import dataclasses as _dc
 
         model_cfg = SPEGNetConfig.from_dict(self.model_config)
-        # Rematerialize encoder blocks during training by default: trades
-        # ~30% extra forward FLOPs in the backward pass for fitting the
-        # reference's batch size in one chip's HBM.
-        model_cfg = _dc.replace(model_cfg, remat=self.config.get("remat", True))
+        # Rematerialization default is batch-aware.  The fused kernels'
+        # custom_vjp already saves only (inputs, weights) and recomputes
+        # internally — a perfect remat — so an OUTER jax.checkpoint re-runs
+        # each kernel forward a second time for no memory benefit.  At
+        # per-chip batch <= 16 the whole Hiera-L 512^2 training program fits
+        # 16 GB HBM without it (measured); only the reference's batch-42
+        # regime needs remat: true in the config.
+        per_chip = -(-self.config["batch_size"] // self.data_axis)
+        model_cfg = _dc.replace(
+            model_cfg, remat=self.config.get("remat", per_chip > 16))
         self.model = SPEGNet(model_cfg)
         self.loss_cfg = LossConfig.from_dict(self.config.get("loss", {}))
         self.batch_size = self.config["batch_size"]
@@ -319,8 +325,20 @@ class Trainer:
                 return (images.astype(jnp.float32) / 255.0 - mean) / std
             return images
 
+        def gt(a):
+            # uint8 TRAIN-wire GTs arrive bit-packed along H (8x smaller
+            # over the tunnel; exact for {0,1} canvases).  Validation
+            # batches stay unpacked (host builds EDT maps from them).
+            if a.dtype == jnp.uint8:
+                from spegnet_tpu.ops.bitpack import unpack_gt
+
+                return unpack_gt(a)
+            return a
+
         def train_step(params, batch_stats, opt_state, scales,
                        images, masks, edges, mask_hw, edge_hw, sample_w):
+            masks, edges = gt(masks), gt(edges)
+
             def loss_fn(p):
                 out, mut = model.apply(
                     {"params": p, "batch_stats": batch_stats},

@@ -87,10 +87,8 @@ def _border_strips(x: jax.Array, k3: jax.Array):
     return y_top, y_bot, y_left, y_right
 
 
-def upsample2x_conv3x3(x: jax.Array, kernel: jax.Array,
-                       bias: jax.Array | None = None) -> jax.Array:
-    """Exactly `conv3x3(resize_bilinear(x, 2x), kernel) [+ bias]`, NHWC,
-    SAME zero padding on the conv — without materializing the upsample."""
+def _up2c3_primal(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """The fast forward form: one lhs-dilated conv on the low-res input."""
     dt = x.dtype
     k3 = kernel.astype(jnp.float32)
     ke = _compose_kernel(k3).astype(dt)
@@ -98,10 +96,59 @@ def upsample2x_conv3x3(x: jax.Array, kernel: jax.Array,
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     y = _conv(xp, ke, [(1, 1), (1, 1)], lhs_dilation=(2, 2))
     y = y.astype(dt)
+    return _paste_borders(y, _border_strips(x, k3))
 
-    y = _paste_borders(y, _border_strips(x, k3))
+
+def _up2c3_poly_ref(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Mathematically identical formulation via the polyphase core + one
+    depth-to-space + NHWC border paste (tests assert equality)."""
+    k3 = kernel.astype(jnp.float32)
+    y = d2s_nhwc(_poly_core(x, k3))
+    return _paste_borders(y, _border_strips(x, k3))
+
+
+def _up2c3_resize_ref(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Mathematically identical decomposed formulation (resize then conv)."""
+    u = resize_bilinear(x, (2 * x.shape[1], 2 * x.shape[2]))
+    return (_conv(u, kernel.astype(x.dtype), [(1, 1), (1, 1)])
+            .astype(x.dtype))
+
+
+# Which equivalent formulation the BACKWARD differentiates ("poly" |
+# "resize" | "primal").  The gradients of any equivalent formulation are
+# the SAME function, so the VJP may pick the fastest lowering; measured
+# grad(x,k) over the three decoder geometries (tools/dec_bwd_micro.py
+# forms, batch 8): resize 33.8 ms total vs poly 37.7 / primal 38.6.
+_BWD_FORM = "resize"
+
+
+@jax.custom_vjp
+def _up2c3(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    return _up2c3_primal(x, kernel)
+
+
+def _up2c3_fwd(x, kernel):
+    return _up2c3_primal(x, kernel), (x, kernel)
+
+
+def _up2c3_bwd(res, dy):
+    x, kernel = res
+    ref = {"poly": _up2c3_poly_ref, "resize": _up2c3_resize_ref,
+           "primal": _up2c3_primal}[_BWD_FORM]
+    _, pull = jax.vjp(ref, x, kernel)
+    return pull(dy)
+
+
+_up2c3.defvjp(_up2c3_fwd, _up2c3_bwd)
+
+
+def upsample2x_conv3x3(x: jax.Array, kernel: jax.Array,
+                       bias: jax.Array | None = None) -> jax.Array:
+    """Exactly `conv3x3(resize_bilinear(x, 2x), kernel) [+ bias]`, NHWC,
+    SAME zero padding on the conv — without materializing the upsample."""
+    y = _up2c3(x, kernel)
     if bias is not None:
-        y = y + bias.astype(dt)
+        y = y + bias.astype(x.dtype)
     return y
 
 

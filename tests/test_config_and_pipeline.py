@@ -86,3 +86,39 @@ def test_device_morphology_matches_native(rng):
     dev = np.asarray(morphological_edges(jnp.asarray(mask)[None])[0])
     nat = native.morphological_edges((mask * 255).astype(np.uint8)) / 255.0
     np.testing.assert_array_equal(dev, nat)
+
+
+def test_bitpack_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from spegnet_tpu.ops.bitpack import pack_gt, unpack_gt
+
+    a = (rng.random((3, 64, 40)) > 0.5).astype(np.uint8)
+    p = pack_gt(a)
+    assert p.shape == (3, 8, 40) and p.dtype == np.uint8
+    out = np.asarray(unpack_gt(jnp.asarray(p)))
+    np.testing.assert_array_equal(out, a)
+
+
+def test_train_batch_uint8_gt_is_packed(tmp_path, rng):
+    from PIL import Image
+
+    from spegnet_tpu.data.pipeline import Sample, _make_train_batch
+    from spegnet_tpu.ops.bitpack import unpack_gt
+    import jax.numpy as jnp
+
+    img = tmp_path / "i.jpg"
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(img)
+    m = np.zeros((40, 40), np.uint8)
+    m[8:30, 5:20] = 255
+    mask = tmp_path / "m.png"
+    Image.fromarray(m).save(mask)
+    proc = ImageProcessor(target_size=64)
+    s = Sample(str(img), str(mask), str(mask))
+    tb8 = _make_train_batch([s], proc, [64], None,
+                            image_dtype=np.uint8, gt_dtype=np.uint8)
+    tbf = _make_train_batch([s], proc, [64], None)
+    assert tb8.masks.shape == (1, 8, 64)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_gt(jnp.asarray(tb8.masks))).astype(np.float32),
+        tbf.masks)

@@ -223,3 +223,30 @@ def test_predictor_outputs(trained, synthetic_dataset):
     seg, edge, original = pred.predict_single(str(img), output_size=(40, 52))
     assert seg.shape == (40, 52) and edge.shape == (40, 52)
     assert 0.0 <= float(seg.min()) and float(seg.max()) <= 1.0
+
+
+def test_u8_wire_one_step(synthetic_dataset, tmp_path):
+    """The uint8 image wire + bit-packed GT wire through the REAL loader:
+    one overlapped train_epoch step must produce finite losses (device-side
+    normalization + GT unpack paths)."""
+    from spegnet_tpu.data.dataset import concat_train_datasets
+    from spegnet_tpu.data.pipeline import ImageProcessor, train_loader
+    from spegnet_tpu.engine.trainer import Trainer
+
+    config = make_config(tmp_path)
+    config["training"]["image_wire"] = "u8"
+    config["training"]["num_epochs"] = 1
+    dm = DirectoryManager("train", base_dir=str(tmp_path))
+    trainer = Trainer(config, dm)
+    ds = concat_train_datasets([str(synthetic_dataset)])
+    loader = train_loader(
+        ds, trainer.processor, batch_size=4,
+        buckets=config["training"]["canvas_buckets"], shuffle=False,
+        num_workers=0, image_dtype=np.uint8, gt_dtype=np.uint8,
+    )
+    batch = next(loader)
+    assert batch.images.dtype == np.uint8
+    assert batch.masks.dtype == np.uint8
+    assert batch.masks.shape[1] * 8 in config["training"]["canvas_buckets"]
+    metrics, _ = trainer._process_train_batch(batch)
+    assert np.isfinite(metrics["loss"])
