@@ -71,7 +71,7 @@ def bench_batch(model, variables, batch: int, size: int = 512, steps: int = 8,
     return n_images / best_dt
 
 
-def bench_train(batch: int = 8, size: int = 512, steps: int = 3):
+def bench_train(batch: int = 8, size: int = 512, steps: int = 8):
     """Images/s through the full jitted train step (remat, canvas 512).
 
     The per-step loss readback is a forced sync; at ~1 s/step the tunnel RTT
@@ -122,19 +122,26 @@ def bench_train(batch: int = 8, size: int = 512, steps: int = 3):
         # compile helper) — only then is the step steady-state.
         trainer._process_train_batch(tb)
         trainer._process_train_batch(tb)
-        # Steady state with the epoch loop's one-step software pipeline:
-        # batch k+1's host->device transfer overlaps step k's device compute
-        # (trainer.train_epoch pattern).
-        t0 = time.time()
-        pending = None
-        for _ in range(steps):
-            dev = trainer._put_train_batch(tb)
-            if pending is not None:
-                float(pending["loss"])  # sync step k-1
-            pending = trainer._dispatch_train_step(dev)
-        float(pending["loss"])
-        dt = time.time() - t0
-    return steps * batch / dt, dt / steps
+        # Steady state with the epoch loop's two-step software pipeline:
+        # batch k's transfer + dispatch overlap steps k-1/k-2 on device; the
+        # loss readback syncs two steps behind so its tunnel RTT hides
+        # (trainer.train_epoch pattern; measured 27.6 -> 32.4 img/s vs
+        # depth 1).  Timed as best-of-3 windows: the tunnel's bandwidth
+        # swings 12-51 MB/s between runs (CLAUDE.md), and a single window
+        # hitting a stall misreports steady-state device throughput by 2x.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            pending = []
+            for _ in range(steps):
+                dev = trainer._put_train_batch(tb)
+                pending.append(trainer._dispatch_train_step(dev))
+                if len(pending) > 2:
+                    float(pending.pop(0)["loss"])
+            for ld in pending:
+                float(ld["loss"])
+            best = min(best, (time.time() - t0) / steps)
+    return batch / best, best
 
 
 def attention_parity_check() -> float:

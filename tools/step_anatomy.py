@@ -60,12 +60,15 @@ def main():
             "loss": {},
         },
     }
+    from spegnet_tpu.ops.bitpack import pack_gt
+
     rng = np.random.default_rng(0)
-    masks = np.zeros((B, size, size), np.float32)
-    masks[:, size // 4: -size // 4, size // 4: -size // 4] = 1.0
+    masks = np.zeros((B, size, size), np.uint8)
+    masks[:, size // 4: -size // 4, size // 4: -size // 4] = 1
     edges = np.zeros_like(masks)
-    edges[:, size // 4, size // 4: -size // 4] = 1.0
-    images = rng.standard_normal((B, size, size, 3)).astype(np.float32)
+    edges[:, size // 4, size // 4: -size // 4] = 1
+    masks, edges = pack_gt(masks), pack_gt(edges)
+    images = rng.integers(0, 256, (B, size, size, 3), dtype=np.uint8)
     hw = np.full((B, 2), size, np.int32)
     tb = TrainBatch(images=images, masks=masks, edges=edges,
                     mask_hw=hw, edge_hw=hw)
@@ -99,15 +102,23 @@ def main():
         dev = tuple(jnp.asarray(a) for a in
                     (images, masks, edges, hw, hw, sample_w))
         jax.block_until_ready(dev)
-        t0 = time.time()
+        # warm up this jit signature (device arrays may differ from (b)'s)
+        trainer.params, trainer.batch_stats, trainer.opt_state, ld = \
+            trainer._train_step(trainer.params, trainer.batch_stats,
+                                trainer.opt_state,
+                                trainer._scales_array(), *dev)
+        float(ld["loss"])
+        times = []
         for _ in range(args.steps):
+            t0 = time.time()
             trainer.params, trainer.batch_stats, trainer.opt_state, ld = \
                 trainer._train_step(trainer.params, trainer.batch_stats,
                                     trainer.opt_state,
                                     trainer._scales_array(), *dev)
             loss = float(ld["loss"])  # forced sync per step
-        per = (time.time() - t0) / args.steps
-        print(f"step DEVICE-RESIDENT:   {per*1e3:.0f} ms (loss {loss:.3f}, "
+            times.append(time.time() - t0)
+        print(f"step DEVICE-RESIDENT:   min {min(times)*1e3:.0f} / "
+              f"avg {sum(times)/len(times)*1e3:.0f} ms (loss {loss:.3f}, "
               f"backward={args.backward})", flush=True)
 
 
