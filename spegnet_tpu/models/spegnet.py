@@ -90,6 +90,10 @@ class SPEGNet(nn.Module):
             n_classes=cfg.n_classes,
             edge_stages=(True, True, False),
             dtype=dtype,
+            # Under spatial (H) sharding the decoder activations arrive
+            # H-sharded; the fused kernels' shard_map covers the data axis
+            # only, so keep the decomposed path (GSPMD partitions it).
+            fused_ok=cfg.spatial_axis is None,
             name="decoder",
         )(context, edge_features, train)
 

@@ -112,7 +112,8 @@ def main():
                 [(64, 256, 256, 64), (128, 256, 128, 64), (256, 128, 64, 0)]):
             x = jax.random.normal(key, (B, res, res, cin), DT)
             ef = (jax.random.normal(key, (B, 128, 128, ce), DT) if ce else None)
-            blk = DecoderBlock(cout, dtype=DT)
+            blk = DecoderBlock(cout, in_features=cin,
+                               edge_features_ch=ce, dtype=DT)
             args = (x,) if ef is None else (x, ef)
             v = blk.init(key, *args, train=True)
 

@@ -82,7 +82,7 @@ def main():
         ]
         for i, (res, cin, cout, we) in enumerate(specs):
             xd = jax.random.normal(key, (b, res, res, cin), dt)
-            blk = DecoderBlock(cout, dtype=dt)
+            blk = DecoderBlock(cout, in_features=cin, edge_features_ch=(64 if we else 0), dtype=dt)
             args = (xd, ef) if we else (xd,)
             bv = jax.jit(blk.init)(key, *args)
             if we:
