@@ -127,3 +127,10 @@ if __name__ == "__main__":
         bench_geom("dec2", 16, 256, 128, 64, edge=False, head=True, sh=int(os.environ.get("DEC_SH", "16")))
     if which in ("both", "dec1"):
         bench_geom("dec1", 16, 128, 256, 128, edge=True, head=False, sh=int(os.environ.get("DEC_SH1", "8")))
+    if which == "dec1ne":
+        # dec1 geometry WITHOUT the edge branch: sizes the potential of
+        # precomputing the edge contribution in XLA and feeding it to the
+        # kernel as an additive input (the in-kernel edge dots + rg1=1 are
+        # the suspected cause of dec1's fused loss).
+        bench_geom("dec1ne", 16, 128, 256, 128, edge=False, head=False,
+                   sh=int(os.environ.get("DEC_SH1", "8")))
