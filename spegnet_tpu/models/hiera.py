@@ -340,12 +340,16 @@ class MultiScaleBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     t_ctx: Optional[Tuple[int, int, int]] = None
     t_weights_only: bool = False
+    # W8A8 projections (ops/fused_block_t_i8.py): flagged inference speed
+    # mode, eligibility re-checked per geometry (supported_i8).
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         from spegnet_tpu.ops.attention import USE_PALLAS
         from spegnet_tpu.ops import fused_block as fb
         from spegnet_tpu.ops import fused_block_t as fbt
+        from spegnet_tpu.ops import fused_block_t_i8 as fbt_i8
 
         hidden = int(self.dim_out * self.mlp_ratio)
         # Exact (erf) GELU matches torch nn.GELU bit-for-bit in f32 parity
@@ -399,6 +403,12 @@ class MultiScaleBlock(nn.Module):
                 # stacked weights (see Hiera.__call__); this block only
                 # contributes its transposed weight views.
                 return weights
+            if self.int8 and fbt_i8.supported_i8(
+                    self.dim, self.num_heads, l_t, x.shape[2], dt,
+                    batch=x.shape[0]):
+                return fbt_i8.fused_block_t_i8(
+                    x, fbt_i8.pack_i8(weights), heads, hp, l_t,
+                    d ** -0.5, 1e-6, approx_gelu)
             return fbt.fused_block_t(x, weights, heads, hp, l_t,
                                      d ** -0.5, 1e-6, approx_gelu)
 
@@ -545,6 +555,9 @@ class Hiera(nn.Module):
     variant: str = "large"
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # rematerialize blocks (training memory vs FLOPs)
+    # W8A8 block projections (ops/fused_block_t_i8.py), inference only —
+    # callers must not set this on a differentiated path (no custom_vjp).
+    int8: bool = False
     # Spatial (sequence) parallelism: shard the token-H axis over this mesh
     # axis.  Hiera's windows are non-overlapping, so windowed attention and
     # the 2x2 pooling transitions are halo-free under an H-sharding; XLA only
@@ -623,6 +636,7 @@ class Hiera(nn.Module):
             )
         from spegnet_tpu.ops.attention import USE_PALLAS
         from spegnet_tpu.ops import fused_block_t as fbt
+        from spegnet_tpu.ops import fused_block_t_i8 as fbt_i8
 
         # Per-block static configs (dims/heads/window), first pass.
         specs = []
@@ -661,7 +675,8 @@ class Hiera(nn.Module):
                 dim=sp["dim"], dim_out=sp["dim_out"], num_heads=sp["heads"],
                 q_stride=sp["q"], window_size=sp["ws"],
                 mlp_ratio=cfg.mlp_ratio, dtype=self.dtype, t_ctx=t_ctx,
-                t_weights_only=weights_only, name=f"block{i}",
+                t_weights_only=weights_only, int8=self.int8,
+                name=f"block{i}",
             )
 
         i = 0
@@ -704,18 +719,28 @@ class Hiera(nn.Module):
                 else:
                     tws = [block_mod(k, sp, t_ctx=t_ctx, weights_only=True,
                                      cls=MultiScaleBlock)(x) for k in run]
-                    stacked = jax.tree_util.tree_map(
-                        lambda *a: jnp.stack(a), *tws)
                     heads = sp["heads"]
                     hp = fbt.round_hp(sp["dim_out"] // heads)
                     scale = (sp["dim_out"] // heads) ** -0.5
                     approx = self.dtype == jnp.bfloat16
+                    # W8A8 scan: quantize each block's weights, stack, and
+                    # scan the int8 kernel (inference only — never remat'd).
+                    use_i8 = self.int8 and fbt_i8.supported_i8(
+                        sp["dim"], heads, l_i, h * w, self.dtype,
+                        batch=x.shape[0])
+                    if use_i8:
+                        tws = [fbt_i8.pack_i8(w) for w in tws]
+                    stacked = jax.tree_util.tree_map(
+                        lambda *a: jnp.stack(a), *tws)
+                    blk = (fbt_i8.fused_block_t_i8 if use_i8
+                           else fbt.fused_block_t)
 
-                    def body(xc, wts, heads=heads, hp=hp, l=l_i, scale=scale):
-                        return fbt.fused_block_t(
+                    def body(xc, wts, heads=heads, hp=hp, l=l_i, scale=scale,
+                             blk=blk):
+                        return blk(
                             xc, wts, heads, hp, l, scale, 1e-6, approx), None
 
-                    if self.remat:
+                    if self.remat and not use_i8:
                         body = jax.checkpoint(
                             body, policy=jax.checkpoint_policies
                             .dots_with_no_batch_dims_saveable)

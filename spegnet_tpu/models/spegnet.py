@@ -38,6 +38,10 @@ class SPEGNetConfig:
     compute_dtype: str = "float32"
     remat: bool = False
     spatial_axis: str = None  # mesh axis for sequence/spatial parallelism
+    # Flagged W8A8 inference speed mode for the encoder trunk
+    # (ops/fused_block_t_i8.py; BASELINE.md plan of record).  Inference
+    # only: training always runs the exact bf16/f32 path.
+    int8_encoder: bool = False
 
     @classmethod
     def from_dict(cls, model_config: Dict[str, Any]) -> "SPEGNetConfig":
@@ -47,6 +51,7 @@ class SPEGNetConfig:
             compute_dtype=model_config.get("compute_dtype", "float32"),
             remat=model_config.get("remat", False),
             spatial_axis=model_config.get("spatial_axis"),
+            int8_encoder=model_config.get("int8_encoder", False),
         )
 
     @property
@@ -66,7 +71,8 @@ class SPEGNet(nn.Module):
 
         features = Hiera(
             variant=cfg.variant, dtype=dtype, remat=cfg.remat,
-            spatial_axis=cfg.spatial_axis, name="encoder",
+            spatial_axis=cfg.spatial_axis,
+            int8=cfg.int8_encoder and not train, name="encoder",
         )(x)
         stage2, stage3, stage4 = features[1], features[2], features[3]
 

@@ -71,6 +71,29 @@ def main():
         secs = chain_time(lambda v, x: enc.apply(v, x)[-1], v, x)
         print(f"encoder fwd: {secs*1e3:.2f} ms/batch-{b} "
               f"({b/secs:.1f} img/s)", flush=True)
+    elif which == "int8":
+        # W8A8 encoder (flagged mode) vs bf16, same process/device: full-
+        # model time A/B and sigmoid-mask MAE between the two paths.
+        bf = SPEGNet(SPEGNetConfig(variant="large",
+                                   compute_dtype="bfloat16"))
+        q = SPEGNet(SPEGNetConfig(variant="large", compute_dtype="bfloat16",
+                                  int8_encoder=True))
+        v = jax.jit(bf.init)(key, x)
+        fn_bf = lambda v, x: bf.apply(v, x)["predictions"][-1]
+        fn_q = lambda v, x: q.apply(v, x)["predictions"][-1]
+        m_bf = np.asarray(jax.device_get(jax.jit(fn_bf)(v, x)),
+                          np.float32)
+        m_q = np.asarray(jax.device_get(jax.jit(fn_q)(v, x)), np.float32)
+        sig = lambda a: 1.0 / (1.0 + np.exp(-a))
+        mae = np.abs(sig(m_q) - sig(m_bf)).mean()
+        print(f"int8-vs-bf16 sigmoid-mask MAE {mae:.3e} "
+              f"(logit maxerr {np.abs(m_q - m_bf).max():.3e})", flush=True)
+        s_bf = chain_time(fn_bf, v, x)
+        print(f"bf16 full fwd: {s_bf*1e3:.2f} ms/batch-{b} "
+              f"({b/s_bf:.1f} img/s)", flush=True)
+        s_q = chain_time(fn_q, v, x)
+        print(f"int8 full fwd: {s_q*1e3:.2f} ms/batch-{b} "
+              f"({b/s_q:.1f} img/s)", flush=True)
     else:
         model = SPEGNet(SPEGNetConfig(variant="large", compute_dtype="bfloat16"))
         v = jax.jit(model.init)(key, x)
