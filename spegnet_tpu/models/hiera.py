@@ -348,6 +348,7 @@ class MultiScaleBlock(nn.Module):
     def __call__(self, x):
         from spegnet_tpu.ops.attention import USE_PALLAS
         from spegnet_tpu.ops import fused_block as fb
+        from spegnet_tpu.ops import fused_block_i8 as fb_i8
         from spegnet_tpu.ops import fused_block_t as fbt
         from spegnet_tpu.ops import fused_block_t_i8 as fbt_i8
 
@@ -504,10 +505,19 @@ class MultiScaleBlock(nn.Module):
                 wfc2=fc2.kernel.astype(dt),
                 bfc2=fc2.bias.reshape(1, -1).astype(dt),
             )
-            out = fb.fused_block(
-                xw, weights, attn.num_heads, attn.hp,
-                attn.head_dim ** -0.5, 1e-6, approx_gelu,
-            )
+            if self.int8 and fb_i8.supported_i8(
+                    xw.shape[0], l, self.dim, dt, batch_rows=n_rows):
+                # W8A8 gen-1 path (Hiera-L stage 4): inference-only, see
+                # ops/fused_block_i8.py.
+                out = fb_i8.fused_block_i8(
+                    xw, fb_i8.pack_i8(weights), attn.num_heads, attn.hp,
+                    attn.head_dim ** -0.5, 1e-6, approx_gelu,
+                )
+            else:
+                out = fb.fused_block(
+                    xw, weights, attn.num_heads, attn.hp,
+                    attn.head_dim ** -0.5, 1e-6, approx_gelu,
+                )
             if ws > 0:
                 out = out.reshape(-1, ws, ws, self.dim)
                 return _window_unpartition(out, ws, pad_hw, (h, w))

@@ -207,6 +207,9 @@ class BoundaryAwareDecoder(nn.Module):
     edge_stages: Sequence[bool] = (True, True, False)
     dtype: jnp.dtype = jnp.float32
     fused_ok: bool = True
+    # W8A8 conv matmuls in the fused block-2 kernel (flagged inference
+    # speed mode, see ops/fused_decoder.py / SPEGNetConfig.int8_decoder).
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, edge_features=None, train: bool = False):
@@ -264,6 +267,7 @@ class BoundaryAwareDecoder(nn.Module):
             head_w=heads[2].kernel.reshape(cm2_, 1),
             head_b=heads[2].bias, dtype=self.dtype)
         strips2 = fd.make_strips(x1, blk2.conv1.kernel, dtype=self.dtype)
-        _, pred2_raw = fd.fused_decoder_block_auto(x1, p2, strips2)
+        _, pred2_raw = fd.fused_decoder_block_auto(x1, p2, strips2,
+                                                   int8=self.int8)
         pred2 = pred2_raw.reshape(b, 2 * s2, 2 * s2, 1)
         return [pred0, pred1, pred2]

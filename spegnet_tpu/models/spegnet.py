@@ -39,9 +39,11 @@ class SPEGNetConfig:
     remat: bool = False
     spatial_axis: str = None  # mesh axis for sequence/spatial parallelism
     # Flagged W8A8 inference speed mode for the encoder trunk
-    # (ops/fused_block_t_i8.py; BASELINE.md plan of record).  Inference
-    # only: training always runs the exact bf16/f32 path.
+    # (ops/fused_block_t_i8.py + ops/fused_block_i8.py; BASELINE.md plan
+    # of record) and the fused decoder block (ops/fused_decoder.py int8=).
+    # Inference only: training always runs the exact bf16/f32 path.
     int8_encoder: bool = False
+    int8_decoder: bool = False
 
     @classmethod
     def from_dict(cls, model_config: Dict[str, Any]) -> "SPEGNetConfig":
@@ -52,6 +54,7 @@ class SPEGNetConfig:
             remat=model_config.get("remat", False),
             spatial_axis=model_config.get("spatial_axis"),
             int8_encoder=model_config.get("int8_encoder", False),
+            int8_decoder=model_config.get("int8_decoder", False),
         )
 
     @property
@@ -100,6 +103,7 @@ class SPEGNet(nn.Module):
             # H-sharded; the fused kernels' shard_map covers the data axis
             # only, so keep the decomposed path (GSPMD partitions it).
             fused_ok=cfg.spatial_axis is None,
+            int8=cfg.int8_decoder and not train,
             name="decoder",
         )(context, edge_features, train)
 

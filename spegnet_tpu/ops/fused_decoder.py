@@ -54,6 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spegnet_tpu.ops import fused_block_t as _fbt
+from spegnet_tpu.ops.fused_block_i8 import _quant_tokens, quantize_cols
 from spegnet_tpu.ops.fused_block_t import spmd_mode
 from spegnet_tpu.ops.fused_upsample_conv import (
     _border_strips,
@@ -335,12 +336,14 @@ def _interleave_rows(a, b):
 
 
 def _dec_kernel(cfg, *refs):
-    (s, cin, cm, sh, has_edge, has_head, he, ce) = cfg
+    (s, cin, cm, sh, has_edge, has_head, he, ce, int8) = cfg
     sh4, cm2, cm4 = sh + 4, 2 * cm, 4 * cm
     it = iter(refs)
     x_hbm = next(it)
     top_ref, bot_ref, left_ref, right_ref = (next(it) for _ in range(4))
     w1_ref, w2_ref, s1t1_ref, s2t2_ref = (next(it) for _ in range(4))
+    sw1_ref = next(it) if int8 else None
+    sw2_ref = next(it) if int8 else None
     we_ref = next(it) if has_edge else None
     ef_ref = next(it) if has_edge else None
     h2_ref = next(it) if has_head else None
@@ -413,8 +416,17 @@ def _dec_kernel(cfg, *refs):
                     k = u * 3 + v
                     p1_ref[(r - g) * s:(r - g + 1) * s,
                            k * cin:(k + 1) * cin] = _shift_clamp(row, v)
-        # One matmul, N = 4*Cm lanes (py, px, c) == s2d rows.
-        y = jnp.dot(p1_ref[:], w1_ref[:], preferred_element_type=f32)
+        # One matmul, N = 4*Cm lanes (py, px, c) == s2d rows.  int8 mode
+        # (W8A8, see fused_block_i8): per-row dynamic activation quant +
+        # per-column weight quant, rank-1 f32 dequant rescale.
+        if int8:
+            p1q, sp1 = _quant_tokens(p1_ref[:])
+            y = jax.lax.dot_general(
+                p1q, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(f32) * sp1 * sw1_ref[:]
+        else:
+            y = jnp.dot(p1_ref[:], w1_ref[:], preferred_element_type=f32)
 
         if has_edge:
             # conv3x3(resize4(ef)): one matmul over the edge grid against
@@ -497,10 +509,22 @@ def _dec_kernel(cfg, *refs):
                 p2_ref[d * s:(d + 1) * s, base + 2 * cm:base + 3 * cm] = hi
                 p2_ref[d * s:(d + 1) * s, base + 3 * cm:base + 4 * cm] = \
                     _shift_zero(lo, up=True)
-        p2 = p2_ref[:]
         w2 = w2_ref[:]
-        o0 = jnp.dot(p2[:, :12 * cm], w2, preferred_element_type=f32)
-        o1 = jnp.dot(p2[:, 4 * cm:], w2, preferred_element_type=f32)
+        if int8:
+            # One per-row scale over all 16 lane chunks serves BOTH
+            # overlapping contractions (symmetric quant is slice-stable).
+            p2q, sp2 = _quant_tokens(p2_ref[:])
+            sw2 = sw2_ref[:]
+            o0 = jax.lax.dot_general(
+                p2q[:, :12 * cm], w2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(f32) * sp2 * sw2
+            o1 = jax.lax.dot_general(
+                p2q[:, 4 * cm:], w2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(f32) * sp2 * sw2
+        else:
+            p2 = p2_ref[:]
+            o0 = jnp.dot(p2[:, :12 * cm], w2, preferred_element_type=f32)
+            o1 = jnp.dot(p2[:, 4 * cm:], w2, preferred_element_type=f32)
         z0 = jnp.maximum(o0 + t2, 0.0).astype(dt)  # [rg2*S, 2Cm] py'=0
         z1 = jnp.maximum(o1 + t2, 0.0).astype(dt)
         out_ref[0, g:g + rg2, :, :cm2] = z0.reshape(rg2, s, cm2)
@@ -526,11 +550,14 @@ def _dec_kernel(cfg, *refs):
 
 
 def fused_decoder_block(x, params: DecParams, strips, ef=None, *,
-                        sh: int = 0, interpret: Optional[bool] = None):
+                        sh: int = 0, int8: bool = False,
+                        interpret: Optional[bool] = None):
     """Run one fused decoder block.
 
     x: [B, S, S, Cin] NHWC.  strips: output of make_strips.  ef: [B, He,
-    He, Ce] edge features iff params.we is not None.  Returns
+    He, Ce] edge features iff params.we is not None.  int8: W8A8 conv
+    matmuls (flagged inference speed mode, see ops/fused_block_i8.py;
+    borders stay exact, BN offset/ReLU/head stay f32/bf16).  Returns
     (out_s2d [B, S, S, 4*Cm] in (py, px, c) lane order,
      pred [B, 2S, S, 2] or None -- reshape(B, 2S, 2S, 1) is free).
     """
@@ -538,6 +565,8 @@ def fused_decoder_block(x, params: DecParams, strips, ef=None, *,
     cm = params.w1.shape[-1] // 4
     has_edge = params.we is not None
     has_head = params.h2 is not None
+    if has_edge:
+        int8 = False  # edge-branch geometry stays bf16 (dec1 is gated off)
     if sh <= 0:
         sh = 16 if s >= 256 else 8
     assert s % sh == 0 and sh % 2 == 0, (s, sh)
@@ -557,8 +586,12 @@ def fused_decoder_block(x, params: DecParams, strips, ef=None, *,
     left = jnp.pad(left, ((0, 0), (1, 1), (0, 0), (0, 0)))
     right = jnp.pad(right, ((0, 0), (1, 1), (0, 0), (0, 0)))
     strips = (top, bot, left, right)
-    inputs = [x, *strips, params.w1.astype(dt), params.w2.astype(dt),
-              params.s1t1, params.s2t2]
+    if int8:
+        w1_in, sw1 = quantize_cols(params.w1)
+        w2_in, sw2 = quantize_cols(params.w2)
+    else:
+        w1_in, w2_in = params.w1.astype(dt), params.w2.astype(dt)
+    inputs = [x, *strips, w1_in, w2_in, params.s1t1, params.s2t2]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((1, s, 4 * cm), lambda bi, si: (bi, 0, 0)),
@@ -570,6 +603,12 @@ def fused_decoder_block(x, params: DecParams, strips, ef=None, *,
         pl.BlockSpec((2, 4 * cm), lambda bi, si: (0, 0)),
         pl.BlockSpec((2, 2 * cm), lambda bi, si: (0, 0)),
     ]
+    if int8:
+        inputs += [sw1, sw2]
+        in_specs += [
+            pl.BlockSpec((1, 4 * cm), lambda bi, si: (0, 0)),
+            pl.BlockSpec((1, 2 * cm), lambda bi, si: (0, 0)),
+        ]
     if has_edge:
         he, ce = ef.shape[1], ef.shape[-1]
         inputs += [params.we.astype(dt), ef]
@@ -604,7 +643,7 @@ def fused_decoder_block(x, params: DecParams, strips, ef=None, *,
         scratch.append(pltpu.VMEM((he, 9 * ce), dt))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
-    cfg = (s, cin, cm, sh, has_edge, has_head, he, ce)
+    cfg = (s, cin, cm, sh, has_edge, has_head, he, ce, int8)
     run = pl.pallas_call(
         functools.partial(_dec_kernel, cfg),
         grid=(b, s // sh),

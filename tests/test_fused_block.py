@@ -89,7 +89,8 @@ def test_block_end_to_end_fused_vs_canonical(rng, monkeypatch):
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 144)).astype(np.float32))
     variables = blk.init(jax.random.PRNGKey(0), x)
 
-    monkeypatch.setattr(fb, "supported", lambda n, l, dt: True)
+    monkeypatch.setattr(fb, "supported",
+                        lambda n, l, dt, batch_rows=None: True)
     fast = blk.apply(variables, x)
     monkeypatch.setattr(attmod, "USE_PALLAS", "0")
     ref = blk.apply(variables, x)

@@ -117,3 +117,44 @@ def test_supported_gate():
     assert fd.decoder_supported(4, 256, jnp.bfloat16)
     assert fd.decoder_supported(4, 128, jnp.bfloat16)
     assert not fd.decoder_supported(4, 100, jnp.bfloat16)
+
+
+def test_int8_block_drift_vs_exact(rng):
+    """W8A8 fused block (flagged speed mode) must track the exact f32
+    reference closely on smooth inputs — a catastrophic-quantization-bug
+    canary, not an accuracy contract (the bench publishes the real
+    mask-MAE).  Borders are pasted exactly, so they must match tightly."""
+    c = _mkcase(rng, b=1, s=32, cin=16, cm=8, head=True)
+    params = fd.pack_params(c["k1"], c["b1"], c["bn1"], c["k2"], c["b2"],
+                            c["bn2"], head_w=c["head_w"], head_b=c["head_b"])
+    strips = fd.make_strips(c["x"], c["k1"])
+    out_s2d, pred = fd.fused_decoder_block(
+        c["x"], params, strips, sh=8, int8=True, interpret=True)
+    got = np.asarray(d2s_nhwc(out_s2d), np.float32)
+    want, want_pred = fd.decoder_block_reference(
+        c["x"], c["k1"], c["b1"], c["bn1"], c["k2"], c["b2"], c["bn2"],
+        head_w=c["head_w"], head_b=c["head_b"])
+    want = np.asarray(want, np.float32)
+    denom = np.abs(want).mean() + 1e-6
+    rel = np.abs(got - want) / denom
+    assert float(rel.mean()) < 5e-2, float(rel.mean())
+    assert float(rel.max()) < 0.5, float(rel.max())
+    b, s = c["x"].shape[0], c["x"].shape[1]
+    pred = np.asarray(pred.reshape(b, 2 * s, 2 * s, 1), np.float32)
+    want_pred = np.asarray(want_pred, np.float32)
+    pdenom = np.abs(want_pred).mean() + 1e-6
+    assert float(np.abs(pred - want_pred).mean() / pdenom) < 5e-2
+
+
+def test_int8_edge_block_falls_back_to_bf16(rng):
+    """int8 is silently disabled for edge-branch geometries (dec1): the
+    result must be bit-identical to the bf16 kernel."""
+    c = _mkcase(rng, b=1, s=32, cin=16, cm=8, edge=True)
+    params = fd.pack_params(c["k1"], c["b1"], c["bn1"], c["k2"], c["b2"],
+                            c["bn2"], k_edge=c["k_edge"])
+    strips = fd.make_strips(c["x"], c["k1"], k_edge=c["k_edge"], ef=c["ef"])
+    a, _ = fd.fused_decoder_block(c["x"], params, strips, ef=c["ef"], sh=8,
+                                  int8=True, interpret=True)
+    b_, _ = fd.fused_decoder_block(c["x"], params, strips, ef=c["ef"], sh=8,
+                                   int8=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
