@@ -550,16 +550,29 @@ qpool_front.defvjp(_qpool_fwd, _qpool_bwd)
 
 def qpool_supported(cin: int, heads: int, l: int, n_tok: int, dtype,
                     batch: Optional[int] = None) -> bool:
-    """T-kernel transition front eligibility (mirrors `supported`).
-
-    l <= 64 only: the kernel computes attention over ALL query lanes (the
-    pooled values ride group-start lanes, the rest is discarded garbage), so
-    its attention work is that of an unpooled window — a huge win where the
-    decomposed path drowns in [4, 16] micro-attentions (stage-1->2: 10.5 ->
-    6.8 ms at batch 16) but a measured loss at L = 256 (stage-2->3: 3.2 ->
-    3.7 ms), where XLA's batched [64, 256] einsums are already fine."""
-    return (supported(cin, heads, l, n_tok, dtype, batch=batch)
-            and l % 4 == 0 and l <= 64)
+    """Transition-front kernel eligibility.  Deliberately NOT `supported`:
+    the full-block T-kernel excludes heads > 8 (per-head attention dots too
+    small) and an early formulation of this front lost at L = 256 (it ran
+    attention over ALL query lanes).  The compacted-q formulation
+    (`_sel4` lane compaction before the q.k dot, attention FLOPs /4) wins
+    at every Hiera-L transition geometry on the v5e (batch 16, min-of-
+    windows chained timing, /tmp probes 2026-08: t23 L=256 1.74 ms vs 5.08
+    XLA, t34 L=64 heads=16 1.25 vs 3.09, t12 L=16 3.12 vs 13.2), so all
+    three stage transitions take it."""
+    if jax.default_backend() not in ("tpu", "axon") and not INTERPRET:
+        return False
+    mode = spmd_mode()
+    if mode == "unsupported":
+        return False
+    if isinstance(mode, tuple):
+        n_data = _data_axis_size(mode)
+        if batch is None or batch % n_data or batch < n_data:
+            return False
+    if cin % 16 or l % 4 or l > 256:
+        return False
+    ok = l % 128 == 0 if l >= 128 else 128 % l == 0
+    cw = _pick_cw(l, n_tok)
+    return ok and cw % max(l, 128) == 0 and n_tok % cw == 0
 
 
 # ---------------------------------------------------------------------------
