@@ -176,10 +176,16 @@ def test_hiera_t_scan_path_vs_canonical(rng, monkeypatch):
         assert np.abs(a - b).max() / scale < 0.03, np.abs(a - b).max()
 
 
-def test_qpool_front_reference_vs_fused(rng):
+@pytest.mark.parametrize("cin,heads,d,ws,hw", [
+    (32, 2, 24, 4, 16),    # t12-like (L = 16)
+    (32, 2, 16, 16, 32),   # t23-like (L = 256, widened gate)
+    (32, 16, 8, 8, 16),    # t34-like (heads > 8, widened gate)
+])
+def test_qpool_front_reference_vs_fused(rng, cin, heads, d, ws, hw):
     """Interpret-mode parity of the fused transition front (with its
-    garbage-lane pooling trick + ::4 compaction) vs the exact reference."""
-    cin, heads, d, ws, hw = 32, 2, 24, 4, 16
+    garbage-lane pooling trick + ::4 compaction) vs the exact reference,
+    at all three Hiera-L transition shape classes (qpool_supported now
+    admits L = 256 and heads > 8 — measured wins, see the gate)."""
     hp = fbt.round_hp(d)
     cout = heads * d
     k = jax.random.PRNGKey(3)
