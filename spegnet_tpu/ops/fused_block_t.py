@@ -535,8 +535,220 @@ def _qpool_fwd(xt, weights, heads, hp, l, scale, eps):
     return out, (xt, weights)
 
 
+def _pool4_scatter(z, g_comp, sel32):
+    """VJP of ``compact4(groupmax4(z))``: route the compacted gradient back
+    to the maximal lane(s) of each aligned 4-lane group.
+
+    z [M, T] (compute dtype), g_comp [M, T/4] f32, sel32 = _sel4(T, f32).
+    Ties split evenly across maximal lanes — exactly jax's reduce_max VJP
+    (`_reduce_chooser_jvp_rule` divides by the tie count), so the kernel
+    backward matches autodiff of qpool_front_reference bit-for-bit on the
+    pooling.  Lane rolls wrap across group boundaries only into lanes that
+    the start-lane masks discard (T % 4 == 0)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    start = (lane % 4) == 0
+    a = jnp.maximum(z, jnp.roll(z, -1, axis=-1))
+    mst = jnp.maximum(a, jnp.roll(a, -2, axis=-1))   # group max @ start lanes
+    msel = jnp.where(start, mst, jnp.asarray(-jnp.inf, z.dtype))
+    m1 = jnp.maximum(msel, jnp.roll(msel, 1, axis=-1))
+    mall = jnp.maximum(m1, jnp.roll(m1, 2, axis=-1))  # group max @ all lanes
+    # Equality in f32: Mosaic's vector cmpf has no bf16 support on v5e, and
+    # the widening is exact so the comparison is unchanged.
+    ind = (z.astype(jnp.float32) == mall.astype(jnp.float32)
+           ).astype(jnp.float32)
+    cnt = ind + jnp.roll(ind, -1, axis=-1)
+    cnt = cnt + jnp.roll(cnt, -2, axis=-1)            # tie count @ start lanes
+    gst = jax.lax.dot_general(                        # expand to start lanes
+        g_comp, sel32, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [M, T]
+    gsc = jnp.where(start, gst / cnt, 0.0)
+    g1 = gsc + jnp.roll(gsc, 1, axis=-1)
+    gall = g1 + jnp.roll(g1, 2, axis=-1)              # g/cnt @ all lanes
+    return ind * gall
+
+
+def _qpool_bwd_kernel(x_ref, go_ref, gsc_ref, lns_ref, lnb_ref, wqkv_ref,
+                      bqkv_ref, wsc_ref, bsc_ref,
+                      dx_ref, dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+                      dwsc_ref, dbsc_ref,
+                      qkv_buf, dqkv_buf, *, heads: int, hp: int, l: int,
+                      cw: int, scale: float, eps: float):
+    """Fused transition-front backward: recompute forward + all gradients in
+    VMEM.  Same structure as _bwd_kernel (one attention chunk per grid cell,
+    fori_loop head sweeps with dynamic sublane slices — small Mosaic payload
+    so all three transition geometries coexist in one train program), plus
+    the two max-pool scatters (_pool4_scatter) the full block kernel does
+    not have."""
+    dt = x_ref.dtype
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _zero():
+        for ref in (dlns_ref, dlnb_ref, dwqkv_ref, dbqkv_ref, dwsc_ref,
+                    dbsc_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    x = x_ref[0]                                      # [Cin, T], T == cw
+    t = x.shape[1]
+    sel = _sel4(t, dt)
+    sel32 = _sel4(t, jnp.float32)
+
+    # ---- recompute forward --------------------------------------------------
+    h1hat, r1 = _ln_fwd_stats(x, eps)
+    h1 = (h1hat * lns_ref[...] + lnb_ref[...]).astype(dt)
+    qkv_buf[...] = (_mm(wqkv_ref[...], h1) + bqkv_ref[...]).astype(dt)
+    sc = (_mm(wsc_ref[...], h1) + bsc_ref[...]).astype(dt)    # [Cout, T]
+
+    # ---- shortcut max-pool backward ----------------------------------------
+    dsc = _pool4_scatter(sc, gsc_ref[0].astype(jnp.float32), sel32)
+    dsc_dt = dsc.astype(dt)
+    dwsc_ref[...] += _mmT(dsc_dt, h1)
+    dbsc_ref[...] += jnp.sum(dsc, axis=1, keepdims=True)
+    dh1 = _mTm(wsc_ref[...], dsc_dt)                  # [Cin, T] f32
+
+    if l < cw:
+        # pooled-row mask: compact query j sits at token lane 4j of the chunk
+        row = (4 * jax.lax.broadcasted_iota(jnp.int32, (cw // 4, cw), 0)) // l
+        col = jax.lax.broadcasted_iota(jnp.int32, (cw // 4, cw), 1) // l
+        mask = jnp.where(row == col, 0.0, _MASK_NEG)
+    else:
+        mask = None
+
+    # ---- pooled-q attention backward (recompute P per head) ----------------
+    def attn_bwd(h, carry):
+        q = qkv_buf[pl.ds(h * hp, hp), :]
+        k = qkv_buf[pl.ds((heads + h) * hp, hp), :]
+        v = qkv_buf[pl.ds((2 * heads + h) * hp, hp), :]
+        a = jnp.maximum(q, jnp.roll(q, -1, axis=-1))
+        qp = jnp.maximum(a, jnp.roll(a, -2, axis=-1))  # start lanes valid
+        qc = jax.lax.dot_general(                      # compact: [HP, T/4]
+            qp, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+        s = jax.lax.dot_general(
+            qc, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [T/4, T]
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p32 = jnp.exp(s - m)
+        denom = jnp.sum(p32, axis=-1, keepdims=True)
+        p32 = p32 * pl.reciprocal(denom, approx=False)
+        p = p32.astype(dt)
+
+        go_h = go_ref[0, pl.ds(h * hp, hp), :]         # [HP, T/4]
+        dp = jax.lax.dot_general(
+            go_h, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [T/4, T]
+        dv = jax.lax.dot_general(
+            go_h, p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [HP, T]
+        ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(dt)
+        dqc = jax.lax.dot_general(
+            k, ds, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [HP, T/4]
+        dk = jax.lax.dot_general(
+            qc, ds, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [HP, T]
+        dq = _pool4_scatter(q, dqc, sel32)             # [HP, T] f32
+        dqkv_buf[pl.ds(h * hp, hp), :] = dq.astype(dt)
+        dqkv_buf[pl.ds((heads + h) * hp, hp), :] = dk.astype(dt)
+        dqkv_buf[pl.ds((2 * heads + h) * hp, hp), :] = dv.astype(dt)
+        return carry
+
+    jax.lax.fori_loop(0, heads, attn_bwd, 0, unroll=1)
+
+    # ---- qkv projection + LN backward ---------------------------------------
+    dqkv = dqkv_buf[...]
+    dwqkv_ref[...] += _mmT(dqkv, h1)
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=1,
+                              keepdims=True)
+    dh1 = dh1 + _mTm(wqkv_ref[...], dqkv)
+    dlns_ref[...] += jnp.sum(dh1 * h1hat, axis=1, keepdims=True)
+    dlnb_ref[...] += jnp.sum(dh1, axis=1, keepdims=True)
+    dx_ref[0] = _ln_bwd(dh1, h1hat, r1, lns_ref[...]).astype(dt)
+
+
+def _qpool_backward(xt, weights: QPoolWeights, go, gsc, *, heads: int,
+                    hp: int, l: int, scale: float, eps: float,
+                    interpret: Optional[bool] = None):
+    if interpret is None:
+        interpret = INTERPRET
+    b, cin, n = xt.shape
+    cout = weights.wsc_t.shape[0]
+    cw = _pick_cw(l, n)
+    t_cell = cw  # one attention chunk per grid cell (kernel assumption)
+    grid = (b, n // t_cell)
+
+    x_spec = pl.BlockSpec((1, cin, t_cell), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    go_spec = pl.BlockSpec((1, heads * hp, t_cell // 4), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    gsc_spec = pl.BlockSpec((1, cout, t_cell // 4), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    dw_shapes = tuple(
+        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights)
+    out_shape = (jax.ShapeDtypeStruct((b, cin, n), xt.dtype),) + dw_shapes
+    out_specs = (x_spec,) + tuple(w_spec(w) for w in weights)
+
+    flops_mm = 2 * b * n * cin * (weights.wqkv_t.shape[0] + cout)
+    cost = pl.CostEstimate(
+        flops=3 * flops_mm + 10 * b * heads * n * cw * hp // 4,
+        bytes_accessed=3 * b * n * cin * xt.dtype.itemsize,
+        transcendentals=b * heads * n * cw // 4,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_qpool_bwd_kernel, heads=heads, hp=hp, l=l, cw=cw,
+                          scale=scale, eps=eps),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[x_spec, go_spec, gsc_spec] + [w_spec(w) for w in weights],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((3 * heads * hp, t_cell), xt.dtype),
+                        pltpu.VMEM((3 * heads * hp, t_cell), xt.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xt, go, gsc, *weights)
+    # Weight grads stay f32 until after the (possible) cross-shard psum.
+    return outs[0], QPoolWeights(*outs[1:])
+
+
+def _qpool_backward_spmd(xt, weights: QPoolWeights, go, gsc, **kw):
+    mode = spmd_mode()
+    if not isinstance(mode, tuple):
+        return _qpool_backward(xt, weights, go, gsc, **kw)
+    mesh, axes = mode
+
+    def fn(xt, weights, go, gsc):
+        dx, dw = _qpool_backward(xt, weights, go, gsc, **kw)
+        dw = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axes), dw)
+        return dx, dw
+
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(P(axes), P(), P(axes), P(axes)),
+                         out_specs=(P(axes), P()),
+                         check_vma=False)(xt, weights, go, gsc)
+
+
 def _qpool_bwd(heads, hp, l, scale, eps, res, g):
     xt, weights = res
+    if (BACKWARD == "kernel"
+            and (jax.default_backend() in ("tpu", "axon") or INTERPRET)):
+        go, gsc = g
+        dx, dws = _qpool_backward_spmd(xt, weights, go, gsc, heads=heads,
+                                       hp=hp, l=l, scale=scale, eps=eps)
+        dws = QPoolWeights(*[gg.astype(w.dtype)
+                             for gg, w in zip(dws, weights)])
+        return dx, dws
     _, vjp = jax.vjp(
         lambda x, w: qpool_front_reference(x, w, heads=heads, hp=hp, l=l,
                                            scale=scale, eps=eps),

@@ -246,6 +246,52 @@ def test_qpool_block_vs_decomposed(rng, monkeypatch):
     assert np.abs(a - b).max() / scale < 0.03, np.abs(a - b).max()
 
 
+@pytest.mark.parametrize("cin,heads,d,ws,hw", [
+    (32, 2, 24, 4, 16),    # t12-like (L = 16)
+    (32, 2, 16, 16, 32),   # t23-like (L = 256)
+    (32, 16, 8, 8, 16),    # t34-like (heads > 8)
+])
+def test_qpool_backward_kernel_vs_reference(rng, cin, heads, d, ws, hw):
+    """The hand-derived fused transition-front backward kernel (interpret)
+    must match autodiff of qpool_front_reference — including the even tie
+    split of both max-pool scatters — for dx and every weight grad."""
+    hp = fbt.round_hp(d)
+    cout = heads * d
+    wts = fbt.QPoolWeights(
+        ln_scale=jnp.asarray(rng.standard_normal((cin, 1)).astype(np.float32) * 0.1 + 1),
+        ln_bias=jnp.asarray(rng.standard_normal((cin, 1)).astype(np.float32) * 0.1),
+        wqkv_t=jnp.asarray(np.pad(
+            rng.standard_normal((3, heads, d, cin)).astype(np.float32) * 0.2,
+            ((0, 0), (0, 0), (0, hp - d), (0, 0))).reshape(-1, cin)),
+        bqkv_t=jnp.asarray(np.pad(
+            rng.standard_normal((3, heads, d)).astype(np.float32) * 0.1,
+            ((0, 0), (0, 0), (0, hp - d))).reshape(-1, 1)),
+        wsc_t=jnp.asarray(rng.standard_normal((cout, cin)).astype(np.float32) * 0.2),
+        bsc_t=jnp.asarray(rng.standard_normal((cout, 1)).astype(np.float32) * 0.1),
+    )
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin)).astype(np.float32) * 0.5)
+    xt = fbt.to_t_micro(x, ws)
+    kw = dict(heads=heads, hp=hp, l=ws * ws, scale=d ** -0.5, eps=1e-6)
+    n = hw * hw
+    go = jnp.asarray(rng.standard_normal(
+        (2, heads * hp, n // 4)).astype(np.float32) * 0.1)
+    gsc = jnp.asarray(rng.standard_normal(
+        (2, cout, n // 4)).astype(np.float32) * 0.1)
+
+    dx_k, dw_k = fbt._qpool_backward(xt, wts, go, gsc, interpret=True, **kw)
+    _, vjp = jax.vjp(lambda xx, w: fbt.qpool_front_reference(xx, w, **kw),
+                     xt, wts)
+    dx_r, dw_r = vjp((go, gsc))
+
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
+                               atol=2e-3, rtol=1e-3)
+    for name, a, b in zip(fbt.QPoolWeights._fields,
+                          jax.tree_util.tree_leaves(dw_k),
+                          jax.tree_util.tree_leaves(dw_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-3, err_msg=name)
+
+
 @pytest.mark.parametrize("ws,hw", [(4, 16), (0, 16)])
 def test_fused_backward_kernel_vs_reference(rng, ws, hw):
     """The hand-derived fused backward kernel (interpret) must match the
