@@ -893,7 +893,8 @@ def _bwd_kernel(x_ref, do_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                 dwproj_ref, dbproj_ref, dln2s_ref, dln2b_ref, dwfc1_ref,
                 dbfc1_ref, dwfc2_ref, dbfc2_ref,
                 qkv_buf, dqkv_buf, o_buf, *, heads: int, hp: int, l: int,
-                cw: int, scale: float, eps: float, approx_gelu: bool):
+                cw: int, acw: int, scale: float, eps: float,
+                approx_gelu: bool, unroll: bool, slots: bool):
     """Fused backward: recompute forward + all gradients in VMEM.
 
     The grid cell is exactly ONE attention chunk (t_cell == cw, enforced by
@@ -901,16 +902,35 @@ def _bwd_kernel(x_ref, do_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     dynamic sublane slices instead of Python-unrolled loops: this shrinks the
     Mosaic payload ~(chunks x heads)-fold, which is what lets all four stage
     geometries' backward programs coexist in one train step without tripping
-    this environment's remote-compile-helper payload limit (CLAUDE.md)."""
-    dt = x_ref.dtype
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    this environment's remote-compile-helper payload limit (CLAUDE.md).
 
-    @pl.when(first)
-    def _zero():
-        for ref in (dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
-                    dbproj_ref, dln2s_ref, dln2b_ref, dwfc1_ref, dbfc1_ref,
-                    dwfc2_ref, dbfc2_ref):
-            ref[...] = jnp.zeros_like(ref)
+    Tuning knobs (measured in tools/bwd_probe.py):
+      * acw — attention chunk width INSIDE the cell; smaller than cw cuts the
+        block-diagonal-mask flop inflation for small windows (the backward
+        runs ~3.5x the forward's attention flops, so masked waste hurts more
+        here than in the forward).
+      * unroll — Python-unrolled static-slice sweeps instead of fori_loop.
+      * slots — write per-cell weight-grad slots (summed outside by XLA)
+        instead of accumulating into revisited output blocks.
+    """
+    dt = x_ref.dtype
+    n_chunks = cw // acw
+
+    if not slots:
+        first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _zero():
+            for ref in (dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref,
+                        dwproj_ref, dbproj_ref, dln2s_ref, dln2b_ref,
+                        dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref):
+                ref[...] = jnp.zeros_like(ref)
+
+    def acc(ref, val):
+        if slots:
+            ref[...] = val.reshape(ref.shape)
+        else:
+            ref[...] += val.reshape(ref.shape)
 
     x = x_ref[0]                                  # [C, T], T == cw
     dout = do_ref[0]
@@ -920,19 +940,19 @@ def _bwd_kernel(x_ref, do_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     h1 = (h1hat * ln1s_ref[...] + ln1b_ref[...]).astype(dt)
     qkv_buf[...] = (_mm(wqkv_ref[...], h1) + bqkv_ref[...]).astype(dt)
 
-    if l < cw:
-        row = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 0) // l
-        col = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 1) // l
+    if l < acw:
+        row = jax.lax.broadcasted_iota(jnp.int32, (acw, acw), 0) // l
+        col = jax.lax.broadcasted_iota(jnp.int32, (acw, acw), 1) // l
         mask = jnp.where(row == col, 0.0, _MASK_NEG)
     else:
         mask = None
 
     # attention forward (P is recomputed again in the backward sweep; only
     # the [H*HP, T] output O is kept, in scratch)
-    def attn_fwd(h, carry):
-        q = qkv_buf[pl.ds(h * hp, hp), :]
-        k = qkv_buf[pl.ds((heads + h) * hp, hp), :]
-        v = qkv_buf[pl.ds((2 * heads + h) * hp, hp), :]
+    def attn_fwd(h, c0):
+        q = qkv_buf[pl.ds(h * hp, hp), pl.ds(c0, acw)]
+        k = qkv_buf[pl.ds((heads + h) * hp, hp), pl.ds(c0, acw)]
+        v = qkv_buf[pl.ds((2 * heads + h) * hp, hp), pl.ds(c0, acw)]
         s = jax.lax.dot_general(
             q, k, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -945,10 +965,18 @@ def _bwd_kernel(x_ref, do_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
         o = jax.lax.dot_general(
             v, p, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dt)
-        o_buf[pl.ds(h * hp, hp), :] = o
-        return carry
+        o_buf[pl.ds(h * hp, hp), pl.ds(c0, acw)] = o
 
-    jax.lax.fori_loop(0, heads, attn_fwd, 0, unroll=1)
+    if unroll:
+        for h in range(heads):
+            for ci in range(n_chunks):
+                attn_fwd(h, ci * acw)
+    else:
+        def fwd_body(idx, carry):
+            attn_fwd(idx // n_chunks, (idx % n_chunks) * acw)
+            return carry
+
+        jax.lax.fori_loop(0, heads * n_chunks, fwd_body, 0, unroll=1)
 
     o_all = o_buf[...]
     pr = _mm(wproj_ref[...], o_all) + bproj_ref[...]
@@ -962,29 +990,29 @@ def _bwd_kernel(x_ref, do_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
 
     # ---- backward ---------------------------------------------------------
     df = dout                                       # d(out)/d(fc2 out)
-    dwfc2_ref[...] += _mmT(df, g)                   # [C, hidden]
-    dbfc2_ref[...] += jnp.sum(df.astype(jnp.float32), axis=1, keepdims=True)
+    acc(dwfc2_ref, _mmT(df, g))                     # [C, hidden]
+    acc(dbfc2_ref, jnp.sum(df.astype(jnp.float32), axis=1, keepdims=True))
     dg = _mTm(wfc2_ref[...], df).astype(dt)         # [hidden, T]
     dz = gelu_vjp(dg)[0]
-    dwfc1_ref[...] += _mmT(dz, h2)
-    dbfc1_ref[...] += jnp.sum(dz.astype(jnp.float32), axis=1, keepdims=True)
+    acc(dwfc1_ref, _mmT(dz, h2))
+    acc(dbfc1_ref, jnp.sum(dz.astype(jnp.float32), axis=1, keepdims=True))
     dh2 = _mTm(wfc1_ref[...], dz)                   # [C, T] f32
-    dln2s_ref[...] += jnp.sum(dh2 * h2hat, axis=1, keepdims=True)
-    dln2b_ref[...] += jnp.sum(dh2, axis=1, keepdims=True)
+    acc(dln2s_ref, jnp.sum(dh2 * h2hat, axis=1, keepdims=True))
+    acc(dln2b_ref, jnp.sum(dh2, axis=1, keepdims=True))
     du = dout.astype(jnp.float32) + _ln_bwd(dh2, h2hat, r2, ln2s_ref[...])
     du_dt = du.astype(dt)
 
-    dwproj_ref[...] += _mmT(du_dt, o_all)
-    dbproj_ref[...] += jnp.sum(du, axis=1, keepdims=True)
+    acc(dwproj_ref, _mmT(du_dt, o_all))
+    acc(dbproj_ref, jnp.sum(du, axis=1, keepdims=True))
     # o_buf is dead after dwproj: reuse it to hold dO so the per-head sweep
     # below can slice it from a ref at dynamic sublane offsets.
     o_buf[...] = _mTm(wproj_ref[...], du_dt).astype(dt)  # [H*HP, T]
 
     # attention backward (recompute P per head)
-    def attn_bwd(h, carry):
-        q = qkv_buf[pl.ds(h * hp, hp), :]
-        k = qkv_buf[pl.ds((heads + h) * hp, hp), :]
-        v = qkv_buf[pl.ds((2 * heads + h) * hp, hp), :]
+    def attn_bwd(h, c0):
+        q = qkv_buf[pl.ds(h * hp, hp), pl.ds(c0, acw)]
+        k = qkv_buf[pl.ds((heads + h) * hp, hp), pl.ds(c0, acw)]
+        v = qkv_buf[pl.ds((2 * heads + h) * hp, hp), pl.ds(c0, acw)]
         s = jax.lax.dot_general(
             q, k, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -996,7 +1024,7 @@ def _bwd_kernel(x_ref, do_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
         p32 = p32 * pl.reciprocal(denom, approx=False)
         p = p32.astype(dt)
 
-        do_h = o_buf[pl.ds(h * hp, hp), :]                   # [HP, CWq]
+        do_h = o_buf[pl.ds(h * hp, hp), pl.ds(c0, acw)]      # [HP, CWq]
         dp = jax.lax.dot_general(
             do_h, v, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [CWq, CWk]
@@ -1011,37 +1039,64 @@ def _bwd_kernel(x_ref, do_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
         dk = jax.lax.dot_general(
             q, ds, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [HP, CWk]
-        dqkv_buf[pl.ds(h * hp, hp), :] = dq.astype(dt)
-        dqkv_buf[pl.ds((heads + h) * hp, hp), :] = dk.astype(dt)
-        dqkv_buf[pl.ds((2 * heads + h) * hp, hp), :] = dv.astype(dt)
-        return carry
+        dqkv_buf[pl.ds(h * hp, hp), pl.ds(c0, acw)] = dq.astype(dt)
+        dqkv_buf[pl.ds((heads + h) * hp, hp), pl.ds(c0, acw)] = dk.astype(dt)
+        dqkv_buf[pl.ds((2 * heads + h) * hp, hp), pl.ds(c0, acw)] = \
+            dv.astype(dt)
 
-    jax.lax.fori_loop(0, heads, attn_bwd, 0, unroll=1)
+    if unroll:
+        for h in range(heads):
+            for ci in range(n_chunks):
+                attn_bwd(h, ci * acw)
+    else:
+        def bwd_body(idx, carry):
+            attn_bwd(idx // n_chunks, (idx % n_chunks) * acw)
+            return carry
+
+        jax.lax.fori_loop(0, heads * n_chunks, bwd_body, 0, unroll=1)
 
     dqkv = dqkv_buf[...]
-    dwqkv_ref[...] += _mmT(dqkv, h1)
-    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=1,
-                              keepdims=True)
+    acc(dwqkv_ref, _mmT(dqkv, h1))
+    acc(dbqkv_ref, jnp.sum(dqkv.astype(jnp.float32), axis=1, keepdims=True))
     dh1 = _mTm(wqkv_ref[...], dqkv)                 # [C, T] f32
-    dln1s_ref[...] += jnp.sum(dh1 * h1hat, axis=1, keepdims=True)
-    dln1b_ref[...] += jnp.sum(dh1, axis=1, keepdims=True)
+    acc(dln1s_ref, jnp.sum(dh1 * h1hat, axis=1, keepdims=True))
+    acc(dln1b_ref, jnp.sum(dh1, axis=1, keepdims=True))
     dx = du + _ln_bwd(dh1, h1hat, r1, ln1s_ref[...])
     dx_ref[0] = dx.astype(dt)
 
 
+def _pick_acw(l: int, cw: int) -> int:
+    """Attention chunk width inside the BACKWARD cell.
+
+    Hypothesis tested on-chip (tools/bwd_probe.py, batch 8, chained timing):
+    the backward runs ~3.5x the forward's attention flops, so sub-chunking
+    (acw < cw) should cut the block-diagonal-mask flop waste at small L.
+    Measured: every (acw / unroll / slots) combination lands within the
+    tunnel's ±15% process-to-process noise of the default (s1 3.3-5.4 ms,
+    s2 2.0-2.5, s3w 1.6-2.1, s3g 1.9-2.0 per block raw) and rankings flip
+    between processes — the kernel is already at 100-140 TF/s EXECUTED
+    flops, i.e. masked waste is bounded by MXU sequencing, not the mask.
+    Default stays the forward's chunk width; the knobs remain for probes."""
+    return cw
+
+
 def _backward(xt, weights: TBlockWeights, dout, *, heads: int, hp: int,
               l: int, scale: float, eps: float, approx_gelu: bool,
-              interpret: Optional[bool] = None):
+              interpret: Optional[bool] = None, acw: Optional[int] = None,
+              unroll: bool = False, slots: bool = False):
     if interpret is None:
         interpret = INTERPRET
     b, c, n = xt.shape
     hidden = weights.wfc1_t.shape[0]
     cw = _pick_cw(l, n)
+    if acw is None:
+        acw = _pick_acw(l, cw)
     # One attention chunk per grid cell: the kernel's per-head fori_loop
     # sweeps assume T == cw (and the backward holds ~2.5x the forward's tiles
     # + f32 weight-grad accumulators in VMEM, so small cells also fit better).
     t_cell = cw
     grid = (b, n // t_cell)
+    n_cells = b * (n // t_cell)
 
     x_spec = pl.BlockSpec((1, c, t_cell), lambda i, j: (i, 0, j),
                           memory_space=pltpu.VMEM)
@@ -1050,21 +1105,41 @@ def _backward(xt, weights: TBlockWeights, dout, *, heads: int, hp: int,
         return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim,
                             memory_space=pltpu.VMEM)
 
-    dw_shapes = tuple(
-        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights)
+    if slots:
+        cells_j = n // t_cell
+
+        def dw_spec(arr):
+            return pl.BlockSpec(
+                (1,) + arr.shape,
+                lambda i, j: (i * cells_j + j,) + (0,) * arr.ndim,
+                memory_space=pltpu.VMEM)
+
+        dw_shapes = tuple(
+            jax.ShapeDtypeStruct((n_cells,) + w.shape, jnp.float32)
+            for w in weights)
+        dw_specs = tuple(dw_spec(w) for w in weights)
+        semantics = ("parallel", "arbitrary")
+    else:
+        dw_shapes = tuple(
+            jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights)
+        dw_specs = tuple(w_spec(w) for w in weights)
+        semantics = ("arbitrary", "arbitrary")
+
     out_shape = (jax.ShapeDtypeStruct((b, c, n), xt.dtype),) + dw_shapes
-    out_specs = (x_spec,) + tuple(w_spec(w) for w in weights)
+    out_specs = (x_spec,) + dw_specs
 
     flops_mm = 2 * b * n * (c * weights.wqkv_t.shape[0]
                             + heads * hp * c + 2 * c * hidden)
     cost = pl.CostEstimate(
-        flops=3 * flops_mm + 10 * b * heads * n * cw * hp,
+        flops=3 * flops_mm + 10 * b * heads * n * acw * hp,
         bytes_accessed=4 * b * n * c * xt.dtype.itemsize,
-        transcendentals=2 * b * heads * n * cw + b * n * hidden,
+        transcendentals=2 * b * heads * n * acw + b * n * hidden,
     )
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, hp=hp, l=l, cw=cw,
-                          scale=scale, eps=eps, approx_gelu=approx_gelu),
+                          acw=acw, scale=scale, eps=eps,
+                          approx_gelu=approx_gelu, unroll=unroll,
+                          slots=slots),
         out_shape=out_shape,
         grid=grid,
         in_specs=[x_spec, x_spec] + [w_spec(w) for w in weights],
@@ -1073,15 +1148,18 @@ def _backward(xt, weights: TBlockWeights, dout, *, heads: int, hp: int,
                         pltpu.VMEM((3 * heads * hp, t_cell), xt.dtype),
                         pltpu.VMEM((heads * hp, t_cell), xt.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=semantics,
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         cost_estimate=cost,
         interpret=interpret,
     )(xt, dout, *weights)
+    dws = outs[1:]
+    if slots:
+        dws = tuple(a.sum(axis=0) for a in dws)
     # Weight grads stay f32 here; _bwd casts to the weight dtype AFTER the
     # (possible) cross-shard psum so the reduction happens in full precision.
-    return outs[0], TBlockWeights(*outs[1:])
+    return outs[0], TBlockWeights(*dws)
 
 
 # ---------------------------------------------------------------------------

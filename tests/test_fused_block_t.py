@@ -292,10 +292,19 @@ def test_qpool_backward_kernel_vs_reference(rng, cin, heads, d, ws, hw):
                                    atol=2e-3, rtol=1e-3, err_msg=name)
 
 
-@pytest.mark.parametrize("ws,hw", [(4, 16), (0, 16)])
-def test_fused_backward_kernel_vs_reference(rng, ws, hw):
+@pytest.mark.parametrize("ws,hw,opts", [
+    (4, 16, {}),                                  # masked chunks, defaults
+    (0, 16, {}),                                  # global window
+    (4, 16, {"acw": 256}),                        # one wide masked chunk
+    (4, 16, {"acw": 128, "unroll": True}),        # unrolled static slices
+    (4, 16, {"slots": True}),                     # per-cell weight-grad slots
+    (4, 16, {"acw": 128, "unroll": True, "slots": True}),
+])
+def test_fused_backward_kernel_vs_reference(rng, ws, hw, opts):
     """The hand-derived fused backward kernel (interpret) must match the
-    autodiff of the token-major reference for dx and every weight grad."""
+    autodiff of the token-major reference for dx and every weight grad —
+    at every tuning-knob combination (acw sub-chunking / unrolled sweeps /
+    per-cell weight-grad slots; see tools/bwd_probe.py)."""
     c, heads, d = 32, 2, 16
     hp = fbt.round_hp(d)
     weights = make_weights(rng, c, heads, d, 4 * c, hp)
@@ -306,7 +315,7 @@ def test_fused_backward_kernel_vs_reference(rng, ws, hw):
               approx_gelu=True)
     g = jnp.asarray(rng.standard_normal(xt.shape).astype(np.float32) * 0.1)
 
-    dx_k, dw_k = fbt._backward(xt, weights, g, interpret=True, **kw)
+    dx_k, dw_k = fbt._backward(xt, weights, g, interpret=True, **kw, **opts)
     _, vjp = jax.vjp(lambda xx, w: fbt.block_t_reference(xx, w, **kw),
                      xt, weights)
     dx_r, dw_r = vjp(g)

@@ -132,7 +132,7 @@ def main():
 
     remat_policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
 
-    # ---- full encoder fwd+bwd (remat, as in training) --------------------
+    # ---- full encoder fwd+bwd (remat, as in big-batch training) -----------
     if sel("encoder"):
         enc = Hiera(variant="large", dtype=dt, remat=True)
         x = jax.random.normal(key, (B, 512, 512, 3), dt)
@@ -144,6 +144,44 @@ def main():
 
         report("encoder_fwd_bwd", grad_chain_time(
             lambda v, x: enc_f(v, x), ev, x, args.steps))
+
+    # ---- full encoder fwd+bwd, remat OFF (the real batch-8 trainer) -------
+    if sel("enc2"):
+        enc = Hiera(variant="large", dtype=dt, remat=False)
+        x = jax.random.normal(key, (B, 512, 512, 3), dt)
+        ev = jax.jit(enc.init)(key, x)
+
+        def enc_f(v, x):
+            outs = enc.apply(v, x)
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)[None]
+
+        report("encoder_noremat_fwd_bwd", grad_chain_time(
+            lambda v, x: enc_f(v, x), ev, x, args.steps))
+
+    # ---- full model grad incl. canvas loss, no optimizer (loss_fn of the
+    # trainer's jitted step, device-resident inputs) -------------------------
+    if sel("model"):
+        model = SPEGNet(SPEGNetConfig(variant="large", compute_dtype="bfloat16"))
+        size = 512
+        x = jax.random.normal(key, (B, size, size, 3), dt)
+        variables = jax.jit(model.init)(key, x)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        cfgL = LossConfig()
+        masks = jnp.zeros((B, size, size), jnp.float32).at[
+            :, 128:384, 128:384].set(1.0)
+        edges = jnp.zeros((B, size, size), jnp.float32).at[
+            :, 128, 128:384].set(1.0)
+        hw = jnp.full((B, 2), size, jnp.int32)
+
+        def model_loss(p, x, bs=batch_stats):
+            out, _ = model.apply({"params": p, "batch_stats": bs}, x,
+                                 train=True, mutable=["batch_stats"])
+            ld = cod_loss(out["predictions"], out["edge"], masks, edges,
+                          hw, hw, cfgL)
+            return ld["loss"][None]
+
+        report("model_loss_fwd_bwd", grad_chain_time(
+            model_loss, params, x, args.steps))
 
     # ---- per-stage runs fwd+bwd ------------------------------------------
     # name: (dim, heads, hw, window, run_length)
