@@ -54,7 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spegnet_tpu.ops import fused_block_t as _fbt
-from spegnet_tpu.ops.fused_block_i8 import _quant_tokens, quantize_cols
+from spegnet_tpu.ops.fused_block_i8 import quantize_cols
 from spegnet_tpu.ops.fused_block_t import spmd_mode
 from spegnet_tpu.ops.fused_upsample_conv import (
     _border_strips,
@@ -344,6 +344,7 @@ def _dec_kernel(cfg, *refs):
     w1_ref, w2_ref, s1t1_ref, s2t2_ref = (next(it) for _ in range(4))
     sw1_ref = next(it) if int8 else None
     sw2_ref = next(it) if int8 else None
+    sx_ref = next(it) if int8 else None
     we_ref = next(it) if has_edge else None
     ef_ref = next(it) if has_edge else None
     h2_ref = next(it) if has_head else None
@@ -417,14 +418,17 @@ def _dec_kernel(cfg, *refs):
                     p1_ref[(r - g) * s:(r - g + 1) * s,
                            k * cin:(k + 1) * cin] = _shift_clamp(row, v)
         # One matmul, N = 4*Cm lanes (py, px, c) == s2d rows.  int8 mode
-        # (W8A8, see fused_block_i8): per-row dynamic activation quant +
-        # per-column weight quant, rank-1 f32 dequant rescale.
+        # (W8A8): x arrives PRE-QUANTIZED per image (int8 strips, half the
+        # DMA bytes), so the patches here are already int8 and conv1 pays
+        # ZERO in-kernel quantization — the per-token absmax+round of the
+        # first formulation serialized against the dots and lost (ROOFLINE
+        # negative); dequant is a (scalar image scale x column scale)
+        # rank-1 rescale.
         if int8:
-            p1q, sp1 = _quant_tokens(p1_ref[:])
             y = jax.lax.dot_general(
-                p1q, w1_ref[:], (((1,), (0,)), ((), ())),
+                p1_ref[:], w1_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ).astype(f32) * sp1 * sw1_ref[:]
+            ).astype(f32) * (sx_ref[bi] * sw1_ref[:])
         else:
             y = jnp.dot(p1_ref[:], w1_ref[:], preferred_element_type=f32)
 
@@ -494,6 +498,17 @@ def _dec_kernel(cfg, *refs):
     # A slot k holds cell i0 - 1 + k; all indices static.
     rg2 = _pick_rg2(sh)
 
+    # int8 conv2: ONE strip-level activation scale (absmax over a_ref,
+    # computed after the exact border pastes so |patch| <= amax holds and
+    # round() never overflows 127).  The patch buffer is then quantized by
+    # a pure elementwise round — no per-token reduce to serialize against
+    # the dots.  Symmetric scalar quant is trivially slice-stable for the
+    # two overlapping contractions.
+    if int8:
+        amax = jnp.max(jnp.abs(a_ref[:].astype(f32)))
+        sa = jnp.maximum(amax * (1.0 / 127.0), 1e-12)
+        ra = 1.0 / sa  # scalar; pl.reciprocal can't lower rank-0
+
     def conv2_group(g):
         for d in range(rg2):
             for a4, (off, py) in enumerate(((0, 1), (1, 0), (1, 1), (2, 0))):
@@ -511,16 +526,14 @@ def _dec_kernel(cfg, *refs):
                     _shift_zero(lo, up=True)
         w2 = w2_ref[:]
         if int8:
-            # One per-row scale over all 16 lane chunks serves BOTH
-            # overlapping contractions (symmetric quant is slice-stable).
-            p2q, sp2 = _quant_tokens(p2_ref[:])
-            sw2 = sw2_ref[:]
+            p2q = jnp.round(p2_ref[:].astype(f32) * ra).astype(jnp.int8)
+            dsc = sa * sw2_ref[:]
             o0 = jax.lax.dot_general(
                 p2q[:, :12 * cm], w2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(f32) * sp2 * sw2
+                preferred_element_type=jnp.int32).astype(f32) * dsc
             o1 = jax.lax.dot_general(
                 p2q[:, 4 * cm:], w2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(f32) * sp2 * sw2
+                preferred_element_type=jnp.int32).astype(f32) * dsc
         else:
             p2 = p2_ref[:]
             o0 = jnp.dot(p2[:, :12 * cm], w2, preferred_element_type=f32)
@@ -565,8 +578,11 @@ def fused_decoder_block(x, params: DecParams, strips, ef=None, *,
     cm = params.w1.shape[-1] // 4
     has_edge = params.we is not None
     has_head = params.h2 is not None
+    ip = _fbt.INTERPRET if interpret is None else interpret
     if has_edge:
         int8 = False  # edge-branch geometry stays bf16 (dec1 is gated off)
+    if int8 and not ip and cin % 128:
+        int8 = False  # int8 patch writes need lane-tile-aligned Cin chunks
     if sh <= 0:
         sh = 16 if s >= 256 else 8
     assert s % sh == 0 and sh % 2 == 0, (s, sh)
@@ -589,9 +605,18 @@ def fused_decoder_block(x, params: DecParams, strips, ef=None, *,
     if int8:
         w1_in, sw1 = quantize_cols(params.w1)
         w2_in, sw2 = quantize_cols(params.w2)
+        # Per-image symmetric activation quant OUTSIDE the kernel: the
+        # strips DMA as int8 (half the bytes) and conv1's im2col patches
+        # are built from already-quantized rows — no in-kernel quant work.
+        x32 = x.astype(jnp.float32)
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(x32), axis=(1, 2, 3)) * (1.0 / 127.0), 1e-12)
+        x_in = jnp.round(x32 / sx[:, None, None, None]).astype(jnp.int8)
+        sxs = sx  # [B] f32, lives in SMEM (indexed by program_id)
     else:
         w1_in, w2_in = params.w1.astype(dt), params.w2.astype(dt)
-    inputs = [x, *strips, w1_in, w2_in, params.s1t1, params.s2t2]
+        x_in = x
+    inputs = [x_in, *strips, w1_in, w2_in, params.s1t1, params.s2t2]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((1, s, 4 * cm), lambda bi, si: (bi, 0, 0)),
@@ -604,10 +629,11 @@ def fused_decoder_block(x, params: DecParams, strips, ef=None, *,
         pl.BlockSpec((2, 2 * cm), lambda bi, si: (0, 0)),
     ]
     if int8:
-        inputs += [sw1, sw2]
+        inputs += [sw1, sw2, sxs]
         in_specs += [
             pl.BlockSpec((1, 4 * cm), lambda bi, si: (0, 0)),
             pl.BlockSpec((1, 2 * cm), lambda bi, si: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
     if has_edge:
         he, ce = ef.shape[1], ef.shape[-1]
@@ -633,10 +659,11 @@ def fused_decoder_block(x, params: DecParams, strips, ef=None, *,
 
     rg1 = _pick_rg1(sh, has_edge)
     rg2 = _pick_rg2(sh)
+    xdt = jnp.int8 if int8 else dt
     scratch = [
-        pltpu.VMEM((2, sh + 4, s, cin), dt),   # double-buffered x strips
+        pltpu.VMEM((2, sh + 4, s, cin), xdt),  # double-buffered x strips
         pltpu.VMEM((sh + 2, s, 4 * cm), dt),
-        pltpu.VMEM((rg1 * s, 9 * cin), dt),
+        pltpu.VMEM((rg1 * s, 9 * cin), xdt),
         pltpu.VMEM((rg2 * s, 16 * cm), dt),
     ]
     if has_edge:
@@ -653,7 +680,7 @@ def fused_decoder_block(x, params: DecParams, strips, ef=None, *,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=_fbt.INTERPRET if interpret is None else interpret,
+        interpret=ip,
     )
     res = run(*inputs)
     return (res[0], res[1]) if has_head else (res[0], None)

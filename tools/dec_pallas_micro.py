@@ -100,6 +100,15 @@ def bench_geom(name, b, s, cin, cm, edge, head, sh):
     print(f"{name}: ref {t_ref*1e3:6.2f} ms", flush=True)
     t_f = chain_time(fused, *args)
     print(f"{name}: fused {t_f*1e3:6.2f} ms", flush=True)
+    if os.environ.get("DEC_INT8", "0") == "1" and not edge:
+        def fused_i8(x):
+            strips = fd.make_strips(x, k1, dtype=dt)
+            out, pred = fd.fused_decoder_block(x, params, strips, sh=sh,
+                                               int8=True)
+            return out if pred is None else out + 0 * pred.sum().astype(dt)
+
+        t_i8 = chain_time(fused_i8, *args)
+        print(f"{name}: fused int8 {t_i8*1e3:6.2f} ms", flush=True)
     t_fd = chain_time(fused_d2s, *args)
     # parity spot-check on-chip
     got = np.asarray(d2s_nhwc(fused_decoder_out(x, ef, params, k1, k_edge,
