@@ -109,11 +109,14 @@ def predict(config: Dict, model_path: Path, input_path: Path,
     from spegnet_tpu.engine.predictor import Predictor
 
     logging.info("Starting prediction...")
+    from spegnet_tpu.parallel.mesh import mesh_from_config
+
     predictor = Predictor(
         model_path=str(model_path),
         model_config=config["model"],
         dir_manager=dir_manager,
         batch_size=config["prediction"].get("batch_size"),
+        mesh=mesh_from_config(config.get("parallel")),
     )
     output_size = config["prediction"].get("output_size")
     if input_path.is_dir():

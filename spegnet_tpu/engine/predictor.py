@@ -81,8 +81,22 @@ class PredictionResultManager:
 
 class Predictor:
     def __init__(self, model_path: str, model_config: Dict, dir_manager,
-                 batch_size: int = 1):
+                 batch_size: int = 1, mesh=None):
+        """``mesh``: optional jax Mesh with a 'data' axis — directory-scale
+        prediction batches shard over it (round-2 verdict #8; the reference's
+        predictor is single-device, engine/predictor.py:56-215, so this is a
+        TPU-only extension).  ``batch_size`` is rounded up to a multiple of
+        the data axis; tail chunks are already padded to ``batch_size``."""
         self.batch_size = batch_size or 1
+        self.mesh = mesh
+        if mesh is not None:
+            data = int(mesh.shape.get("data", 1))
+            if self.batch_size % data:
+                self.batch_size = -(-self.batch_size // data) * data
+                logger.info(
+                    f"Prediction batch size rounded up to {self.batch_size} "
+                    f"(multiple of data axis {data})"
+                )
         img_cfg = model_config.get("image_processing", {})
         self.target_size = img_cfg.get("target_size", 512)
         self.processor = ImageProcessor(
@@ -92,6 +106,10 @@ class Predictor:
         )
         self.model = SPEGNet(SPEGNetConfig.from_dict(model_config))
         self.variables, _ = load_model_variables(model_path)
+        if mesh is not None:
+            from spegnet_tpu.parallel.sharding import replicated
+
+            self.variables = jax.device_put(self.variables, replicated(mesh))
         self.result_manager = PredictionResultManager(dir_manager)
         self.result_manager.log_message(f"Model loaded from: {model_path}")
 
@@ -107,11 +125,29 @@ class Predictor:
 
         self._forward = forward
         # Warm-up (pays compilation, reference: predictor.py:283-289) for both
-        # the single-image and batched shapes.
+        # the single-image and batched shapes.  Single-image prediction stays
+        # unsharded even under a mesh (batch 1 cannot split over 'data').
         s = self.target_size
-        for b in {1, self.batch_size}:
-            w = self._forward(self.variables, jnp.zeros((b, s, s, 3), jnp.float32))
+        with self._mesh_scope():
+            w = self._forward(
+                *self._put_batch(np.zeros((self.batch_size, s, s, 3), np.float32)))
+        if self.batch_size != 1:
+            w = self._forward(self.variables, jnp.zeros((1, s, s, 3), jnp.float32))
         jax.block_until_ready(w)
+
+    def _mesh_scope(self):
+        import contextlib
+
+        return jax.set_mesh(self.mesh) if self.mesh is not None \
+            else contextlib.nullcontext()
+
+    def _put_batch(self, images: np.ndarray):
+        """(variables, images-on-device) with images sharded over 'data'."""
+        if self.mesh is None:
+            return self.variables, jnp.asarray(images)
+        from spegnet_tpu.parallel.sharding import shard_batch
+
+        return self.variables, shard_batch(np.asarray(images), self.mesh)
 
     def preprocess_image(self, image_path: str) -> np.ndarray:
         t0 = time.time()
@@ -182,7 +218,8 @@ class Predictor:
         for chunk, images, originals, dt_pre in _Prefetcher(gen, prefetch):
             self.result_manager.update_timing("preprocessing", dt_pre)
             t0 = time.time()
-            seg, edge = self._forward(self.variables, jnp.asarray(images))
+            with self._mesh_scope():
+                seg, edge = self._forward(*self._put_batch(images))
             seg, edge = np.asarray(seg), np.asarray(edge)
             self.result_manager.update_timing("inference", time.time() - t0)
             t0 = time.time()

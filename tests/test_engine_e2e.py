@@ -225,6 +225,40 @@ def test_predictor_outputs(trained, synthetic_dataset):
     assert 0.0 <= float(seg.min()) and float(seg.max()) <= 1.0
 
 
+def test_predictor_sharded_matches_single(trained, synthetic_dataset):
+    """Directory prediction sharded over an 8-way 'data' mesh == single-device
+    (round-2 verdict #8: mesh option for Predictor.predict_batch).  batch_size
+    is auto-rounded to the data axis and tail chunks are padded, so per-image
+    forward outputs must be unaffected by the sharding."""
+    from spegnet_tpu.engine.predictor import Predictor
+    from spegnet_tpu.parallel.mesh import create_mesh
+
+    trainer, dm, config, out = trained
+    ckpt = sorted(dm.run_dirs.checkpoints.glob("checkpoint_*"))[-1]
+    imgs = sorted((synthetic_dataset / "test" / "Imgs").glob("*.jpg"))
+
+    def run(mesh, sub, batch_size):
+        pdm = DirectoryManager("predict", base_dir=str(out / sub))
+        pred = Predictor(
+            model_path=str(ckpt), model_config=config["model"],
+            dir_manager=pdm, batch_size=batch_size, mesh=mesh,
+        )
+        pred.predict_batch([str(p) for p in imgs])
+        segs = {}
+        for p in imgs:
+            from PIL import Image as PILImage
+
+            f = pdm.run_dirs.visualizations / "segmentation" / "binary" / f"{p.stem}.png"
+            segs[p.stem] = np.asarray(PILImage.open(f))
+        return segs
+
+    # batch 3 with an 8-way mesh rounds up to 8 and pads the 3-image chunk.
+    single = run(None, "pred_single", 2)
+    shard = run(create_mesh({"data": 8}), "pred_shard", 3)
+    for name in single:
+        np.testing.assert_array_equal(single[name], shard[name], err_msg=name)
+
+
 def test_u8_wire_one_step(synthetic_dataset, tmp_path):
     """The uint8 image wire + bit-packed GT wire through the REAL loader:
     one overlapped train_epoch step must produce finite losses (device-side
