@@ -90,9 +90,11 @@ def main():
 
         def stepfn(p, x):
             gp = g(p, x)
-            # fold a tiny function of the grads back into x: data dependence
+            # fold a function of the grads back into x: data dependence.
+            # FULL-leaf sums: a [:1] slice can be pushed through dots by XLA
+            # (slice-of-dot -> dot-of-slice), DCE-ing most of each dW matmul.
             s = jax.tree_util.tree_reduce(
-                lambda a, b: a + jnp.sum(b[:1].astype(jnp.float32)) * 1e-12,
+                lambda a, b: a + jnp.sum(b.astype(jnp.float32)) * 1e-12,
                 gp, jnp.float32(0))
             return (jax.tree_util.tree_map(lambda a, b: a, p, gp),
                     x + s.astype(x.dtype))
@@ -126,8 +128,12 @@ def main():
 
             def fullstep(p, bs, x):
                 gp, nbs = gf(p, bs, x)
-                s = jnp.sum(gp["decoder"]["block2"]["conv2"]["bias"]
-                            .astype(jnp.float32)) * 1e-12
+                # Fold a function of EVERY grad leaf into the chain: folding
+                # only one leaf lets XLA dead-code-eliminate the rest of the
+                # backward (measured 55 ms vs the encoder's own 133).
+                s = jax.tree_util.tree_reduce(
+                    lambda a, b: a + jnp.sum(b.astype(jnp.float32))
+                    * 1e-12, gp, jnp.float32(0))
                 return (jax.tree_util.tree_map(lambda a, b: a, p, gp), nbs,
                         x + s.astype(x.dtype))
 
