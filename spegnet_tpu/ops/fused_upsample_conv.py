@@ -115,11 +115,108 @@ def _up2c3_resize_ref(x: jax.Array, kernel: jax.Array) -> jax.Array:
 
 
 # Which equivalent formulation the BACKWARD differentiates ("poly" |
-# "resize" | "primal").  The gradients of any equivalent formulation are
-# the SAME function, so the VJP may pick the fastest lowering; measured
-# grad(x,k) over the three decoder geometries (tools/dec_bwd_micro.py
-# forms, batch 8): resize 33.8 ms total vs poly 37.7 / primal 38.6.
+# "resize" | "primal" | "hand").  The gradients of any equivalent
+# formulation are the SAME function, so the VJP may pick the fastest
+# lowering.  Measured pull(dy) per decoder geometry (custom_vjp pull,
+# batch 8, bf16, /tmp/handchk): resize 3.92 / 11.45 / 11.28 ms.  The
+# hand-formed lowering below (dx as one conv-transpose on the s2d grid, dk
+# as 9 tap-einsums with the B*S*S contraction) was built and measured as a
+# NEGATIVE: 3.73 / 21.08 / 11.28 — the s2d relayout of dy is a lane-retiling
+# reshape (CLAUDE.md pathology) and the tap einsums' M=Cin tiles underfill
+# the MXU.  (An earlier probe said hand wins; it folded jnp.sum(dx) into the
+# timing chain, which XLA factored through the plain einsums/convs —
+# sum-of-matmul collapses to rank-1 reductions — while the resize form's
+# ConvBackprop ops resisted the rewrite.  Fold SQUARED sums when probing
+# linear ops.)  "hand" stays selectable and parity-tested.
 _BWD_FORM = "resize"
+
+
+def _s2d_nhwc(y: jax.Array) -> jax.Array:
+    """[B, 2S, 2S, C] -> [B, S, S, 4C] (py, px, c): inverse of d2s_nhwc."""
+    b, h2, w2, c = y.shape
+    y = y.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h2 // 2, w2 // 2, 4 * c)
+
+
+def _strips_only(x, kernel):
+    """The border-strip function as a (x, kernel) -> strips pytree map, for
+    autodiff of the (cheap) border path in the hand backward."""
+    return _border_strips(x, kernel.astype(jnp.float32))
+
+
+def _up2c3_bwd_hand(x, kernel, dy):
+    """Hand-formed exact VJP of conv3x3(up2(x), k).
+
+    The primal is paste(d2s(poly_core(x, k)), strips(x, k)) where paste
+    overwrites the outermost output rows/cols (left/right win corners), so
+    dy splits into an interior part flowing through the polyphase core's
+    transpose and four thin border slices flowing through the strip convs
+    (autodiffed -- they are O(edge) work).  Equality with autodiff of the
+    resize form is asserted by tests/test_fused_upsample_conv.py."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    ho, wo = 2 * h, 2 * w
+    dt = x.dtype
+
+    # Split dy: interior (border rows/cols zeroed) + the four strips.
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, ho, 1, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wo, 1), 2)
+    interior = (row != 0) & (row != ho - 1) & (col != 0) & (col != wo - 1)
+    dy_int = jnp.where(interior, dy, jnp.zeros((), dy.dtype))
+    notlr = (col != 0) & (col != wo - 1)
+    d_top = jnp.where(notlr, dy[:, 0:1], jnp.zeros((), dy.dtype))
+    d_bot = jnp.where(notlr, dy[:, -1:], jnp.zeros((), dy.dtype))
+    d_left = dy[:, :, 0:1]
+    d_right = dy[:, :, -1:]
+
+    dys = _s2d_nhwc(dy_int)  # [B, S, S, 4Co]
+    ke = _compose_kernel(kernel.astype(jnp.float32))
+    kp = jnp.stack([jnp.stack([
+        ke[1 - py::2, 1 - px::2] for px in (0, 1)], 0)
+        for py in (0, 1)], 0)
+    kp = kp.transpose(2, 3, 4, 0, 1, 5).reshape(3, 3, cin, 4 * cout)
+
+    # dx (main): transpose of conv_VALID(edge_pad(x), kp) = conv(pad(dys, 2),
+    # flipped io-swapped kp), then the edge-pad adjoint folds the outer ring
+    # inward.
+    kpt = jnp.flip(kp, (0, 1)).transpose(0, 1, 3, 2).astype(dt)
+    dxp = _conv(dys, kpt, [(2, 2), (2, 2)]).astype(dt)
+    dx = dxp[:, 1:-1, 1:-1]
+    dx = dx.at[:, 0].add(dxp[:, 0, 1:-1])
+    dx = dx.at[:, -1].add(dxp[:, -1, 1:-1])
+    dx = dx.at[:, :, 0].add(dxp[:, 1:-1, 0])
+    dx = dx.at[:, :, -1].add(dxp[:, 1:-1, -1])
+    dx = dx.at[:, 0, 0].add(dxp[:, 0, 0])
+    dx = dx.at[:, 0, -1].add(dxp[:, 0, -1])
+    dx = dx.at[:, -1, 0].add(dxp[:, -1, 0])
+    dx = dx.at[:, -1, -1].add(dxp[:, -1, -1])
+
+    # dk (main): 9 per-tap einsums over (edge-padded x shifts, dys) with the
+    # B*S*S contraction on the MXU, then the compose-kernel adjoint.
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    taps = []
+    for u in range(3):
+        for v in range(3):
+            taps.append(jnp.einsum(
+                "bhwc,bhwd->cd", xp[:, u:u + h, v:v + w], dys,
+                preferred_element_type=jnp.float32))
+    dkp = jnp.stack(taps).reshape(3, 3, cin, 2, 2, cout)
+    ku = jnp.asarray(_KU, jnp.float32)
+    r6 = jnp.arange(6)[:, None]
+    d3 = jnp.arange(3)[None, :]
+    idx = r6 - d3
+    m = jnp.where((idx >= 0) & (idx < 4), ku[jnp.clip(idx, 0, 3)], 0.0)
+    dke = jnp.zeros((6, 6, cin, cout), jnp.float32)
+    for py in (0, 1):
+        for px in (0, 1):
+            dke = dke.at[1 - py::2, 1 - px::2].set(dkp[:, :, :, py, px])
+    dk = jnp.einsum("rd,se,rsio->deio", m, m, dke)
+
+    # Border path: autodiff of the strip convs (thin slices, O(edge) work).
+    _, pull = jax.vjp(_strips_only, x, kernel)
+    dx_b, dk_b = pull((d_top, d_bot, d_left, d_right))
+    return (dx + dx_b.astype(dt),
+            (dk + dk_b.astype(jnp.float32)).astype(kernel.dtype))
 
 
 @jax.custom_vjp
@@ -133,8 +230,11 @@ def _up2c3_fwd(x, kernel):
 
 def _up2c3_bwd(res, dy):
     x, kernel = res
+    form = _BWD_FORM
+    if form == "hand":
+        return _up2c3_bwd_hand(x, kernel, dy)
     ref = {"poly": _up2c3_poly_ref, "resize": _up2c3_resize_ref,
-           "primal": _up2c3_primal}[_BWD_FORM]
+           "primal": _up2c3_primal}[form]
     _, pull = jax.vjp(ref, x, kernel)
     return pull(dy)
 

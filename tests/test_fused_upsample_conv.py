@@ -48,6 +48,37 @@ def test_gradients_match(rng):
                                    atol=5e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("form", ["poly", "resize", "primal", "hand"])
+@pytest.mark.parametrize("h,w,cin,cout", [
+    (8, 8, 16, 8),
+    (7, 11, 5, 9),     # odd sizes stress the border strips
+    (2, 2, 3, 4),      # minimum size (border paste touches everything)
+])
+def test_bwd_forms_match(rng, monkeypatch, form, h, w, cin, cout):
+    """Every selectable backward lowering (incl. the hand-formed one the
+    decoder uses at Cout >= 128) computes the SAME gradient as autodiff of
+    the resize reference."""
+    import spegnet_tpu.ops.fused_upsample_conv as fuc
+
+    monkeypatch.setattr(fuc, "_BWD_FORM", form)
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32)) * 0.2
+    dy = jnp.asarray(rng.standard_normal(
+        (2, 2 * h, 2 * w, cout)).astype(np.float32))
+
+    def via_op(x, k):
+        return jnp.sum(upsample2x_conv3x3(x, k) * dy)
+
+    def via_ref(x, k):
+        return jnp.sum(reference(x, k, None) * dy)
+
+    g1 = jax.grad(via_op, argnums=(0, 1))(x, k)
+    g2 = jax.grad(via_ref, argnums=(0, 1))(x, k)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("h,w,cin,cout", [
     (8, 8, 16, 8),
     (6, 10, 4, 9),     # non-square stresses the per-phase border paste
