@@ -277,6 +277,70 @@ def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     o_ref[0] = x + y.astype(dt)
 
 
+def _kernel_res(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                bproj_ref, ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+                bfc2_ref, o_ref, qkv_ref, ao_ref, u_ref, z_ref, *,
+                heads: int, hp: int, l: int, cw: int, scale: float,
+                eps: float, approx_gelu: bool):
+    """Forward that additionally WRITES the backward's residuals: qkv, the
+    attention output, the mid residual u = x + proj, and the pre-gelu fc1
+    output z.  All four are already computed here; saving them lets
+    `_bwd_kernel_res` skip the qkv/attention-forward/proj/fc1 recompute
+    (~26% of the backward's executed MACs at stage-3 geometry).  Values are
+    stored in compute dtype — identical to what the recompute produced, so
+    gradients match the recompute backward exactly."""
+    dt = o_ref.dtype
+    x = x_ref[0]                               # [C, T]
+    t = x.shape[1]
+
+    h1 = _ln_sub(x, ln1s_ref[...], ln1b_ref[...], eps, dt)
+    qkv_ref[0] = (_mm(wqkv_ref[...], h1) + bqkv_ref[...]).astype(dt)
+
+    if l < cw:
+        row = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 0) // l
+        col = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 1) // l
+        mask = jnp.where(row == col, 0.0, _MASK_NEG)           # [CW, CW] f32
+    else:
+        mask = None
+
+    for c0 in range(0, t, cw):
+        for h in range(heads):
+            q = qkv_ref[0, h * hp:(h + 1) * hp, c0:c0 + cw]
+            k = qkv_ref[0, (heads + h) * hp:(heads + h + 1) * hp,
+                        c0:c0 + cw]
+            v = qkv_ref[0, (2 * heads + h) * hp:(2 * heads + h + 1) * hp,
+                        c0:c0 + cw]
+            s = jax.lax.dot_general(
+                q, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mask is not None:
+                s = s + mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p * pl.reciprocal(denom, approx=False)).astype(dt)
+            o = jax.lax.dot_general(
+                v, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ao_ref[0, h * hp:(h + 1) * hp, c0:c0 + cw] = o.astype(dt)
+
+    proj = _mm(wproj_ref[...], ao_ref[0]) + bproj_ref[...]      # [C, T]
+    u = x + proj.astype(dt)
+    u_ref[0] = u
+
+    h2 = _ln_sub(u, ln2s_ref[...], ln2b_ref[...], eps, dt)
+    z32 = _mm(wfc1_ref[...], h2) + bfc1_ref[...]                # [hidden, T]
+    # Primal gelu stays on the f32 pre-activation (bit-identical to
+    # `_kernel`); the SAVED z is the dt cast, matching what the recompute
+    # backward feeds its gelu_vjp.
+    z_ref[0] = z32.astype(dt)
+    y = _mm(wfc2_ref[...], jax.nn.gelu(z32, approximate=approx_gelu)
+            .astype(dt)) + bfc2_ref[...]
+    o_ref[0] = u + y.astype(dt)
+
+
 def _pick_cols(n_tok: int, cw: int, heads: int, cap: int = 2048) -> int:
     """Tokens per grid cell: a multiple of the chunk width that divides the
     per-image token count, capped so the unrolled attention loop stays
@@ -332,6 +396,91 @@ def _forward(xt, weights: TBlockWeights, *, heads: int, hp: int, l: int,
         cost_estimate=cost,
         interpret=interpret,
     )(xt, *weights)
+
+
+class BlockResiduals(NamedTuple):
+    """Backward residuals saved by `_forward_res` (all compute-dtype):
+    qkv [B, 3*H*HP, N], attention output [B, H*HP, N], mid residual
+    u = x + proj [B, C, N], pre-gelu fc1 output z [B, hidden, N]."""
+
+    qkv: jnp.ndarray
+    ao: jnp.ndarray
+    u: jnp.ndarray
+    z: jnp.ndarray
+
+
+# Save-residuals policy for the training backward.  MEASURED NEGATIVE on
+# v5e (2026-08-19, in-process interleaved A/B, full encoder grad at
+# production Hiera-L 512^2 batch 8): save=1 141.4 ms vs save=0 133.4 ms,
+# consistent over 3 reps.  The backward is HBM-bound, not MAC-bound —
+# streaming four extra residual blocks (qkv 3F + ao F + u C + z 4C per
+# token) through VMEM costs more than the skipped recompute MACs (~26% of
+# the backward's MACs) buy back.  Default off; "1" forces it on (kept for
+# re-evaluation on HBM-richer parts), "auto" enables it only when the
+# per-block residual footprint is modest (b * n_tok <= 32768).
+SAVE_RESIDUALS = os.environ.get("SPEGNET_SAVE_RESIDUALS", "0")
+
+
+def _save_res_ok(b: int, n: int) -> bool:
+    if SAVE_RESIDUALS == "0":
+        return False
+    if SAVE_RESIDUALS == "1":
+        return True
+    return b * n <= 32768
+
+
+def _forward_res(xt, weights: TBlockWeights, *, heads: int, hp: int, l: int,
+                 scale: float, eps: float, approx_gelu: bool,
+                 interpret: Optional[bool] = None,
+                 cw: Optional[int] = None, t_cap: Optional[int] = None):
+    """Forward returning (out, BlockResiduals) — see `_kernel_res`."""
+    if interpret is None:
+        interpret = INTERPRET
+    b, c, n = xt.shape
+    f = heads * hp
+    hidden = weights.wfc1_t.shape[0]
+    if cw is None:
+        cw = _pick_cw(l, n)
+    if t_cap is None:
+        t_cap = 4096 if heads <= 2 else 2048
+    t_cell = _pick_cols(n, cw, heads, t_cap)
+    grid = (b, n // t_cell)
+
+    def spec(ch):
+        return pl.BlockSpec((1, ch, t_cell), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    flops_mm = 2 * b * n * (c * weights.wqkv_t.shape[0]
+                            + f * c + 2 * c * hidden)
+    cost = pl.CostEstimate(
+        flops=flops_mm + 4 * b * heads * n * cw * hp,
+        bytes_accessed=(2 * c + 4 * f + c + hidden)
+        * b * n * xt.dtype.itemsize,
+        transcendentals=b * heads * n * cw + b * n * hidden,
+    )
+    out, qkv, ao, u, z = pl.pallas_call(
+        functools.partial(_kernel_res, heads=heads, hp=hp, l=l, cw=cw,
+                          scale=scale, eps=eps, approx_gelu=approx_gelu),
+        out_shape=(jax.ShapeDtypeStruct((b, c, n), xt.dtype),
+                   jax.ShapeDtypeStruct((b, 3 * f, n), xt.dtype),
+                   jax.ShapeDtypeStruct((b, f, n), xt.dtype),
+                   jax.ShapeDtypeStruct((b, c, n), xt.dtype),
+                   jax.ShapeDtypeStruct((b, hidden, n), xt.dtype)),
+        grid=grid,
+        in_specs=[spec(c)] + [w_spec(w) for w in weights],
+        out_specs=(spec(c), spec(3 * f), spec(f), spec(c), spec(hidden)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xt, *weights)
+    return out, BlockResiduals(qkv, ao, u, z)
 
 
 # ---------------------------------------------------------------------------
@@ -1162,6 +1311,186 @@ def _backward(xt, weights: TBlockWeights, dout, *, heads: int, hp: int,
     return outs[0], TBlockWeights(*dws)
 
 
+def _bwd_kernel_res(x_ref, do_ref, qkv_ref, ao_ref, u_ref, z_ref,
+                    ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                    wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, wfc1_ref,
+                    bfc1_ref, wfc2_ref, bfc2_ref,
+                    dx_ref, dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref,
+                    dwproj_ref, dbproj_ref, dln2s_ref, dln2b_ref, dwfc1_ref,
+                    dbfc1_ref, dwfc2_ref, dbfc2_ref,
+                    dqkv_buf, do_buf, *, heads: int, hp: int, l: int,
+                    cw: int, acw: int, scale: float, eps: float,
+                    approx_gelu: bool):
+    """Backward reading the residuals `_forward_res` saved instead of
+    recomputing them: drops the qkv projection, the attention forward sweep,
+    the proj matmul and the fc1 matmul from the recompute (only the LNs,
+    gelu and the per-head P rebuild remain).  Gradients are identical to
+    `_bwd_kernel`'s — the saved tensors are bit-equal to what it recomputed
+    (same dtype casts at the same points)."""
+    dt = x_ref.dtype
+    n_chunks = cw // acw
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _zero():
+        for ref in (dln1s_ref, dln1b_ref, dwqkv_ref, dbqkv_ref,
+                    dwproj_ref, dbproj_ref, dln2s_ref, dln2b_ref,
+                    dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    def acc(ref, val):
+        ref[...] += val.reshape(ref.shape)
+
+    x = x_ref[0]                                  # [C, T], T == cw
+    dout = do_ref[0]
+
+    # ---- cheap (VPU-only) recompute: LN stats, h1/h2, gelu ------------------
+    h1hat, r1 = _ln_fwd_stats(x, eps)
+    h1 = (h1hat * ln1s_ref[...] + ln1b_ref[...]).astype(dt)
+    u = u_ref[0]
+    h2hat, r2 = _ln_fwd_stats(u, eps)
+    h2 = (h2hat * ln2s_ref[...] + ln2b_ref[...]).astype(dt)
+    z = z_ref[0]
+    g, gelu_vjp = jax.vjp(
+        lambda tt: jax.nn.gelu(tt, approximate=approx_gelu), z)
+    g = g.astype(dt)
+
+    if l < acw:
+        row = jax.lax.broadcasted_iota(jnp.int32, (acw, acw), 0) // l
+        col = jax.lax.broadcasted_iota(jnp.int32, (acw, acw), 1) // l
+        mask = jnp.where(row == col, 0.0, _MASK_NEG)
+    else:
+        mask = None
+
+    # ---- backward -----------------------------------------------------------
+    df = dout
+    acc(dwfc2_ref, _mmT(df, g))
+    acc(dbfc2_ref, jnp.sum(df.astype(jnp.float32), axis=1, keepdims=True))
+    dg = _mTm(wfc2_ref[...], df).astype(dt)
+    dz = gelu_vjp(dg)[0]
+    acc(dwfc1_ref, _mmT(dz, h2))
+    acc(dbfc1_ref, jnp.sum(dz.astype(jnp.float32), axis=1, keepdims=True))
+    dh2 = _mTm(wfc1_ref[...], dz)
+    acc(dln2s_ref, jnp.sum(dh2 * h2hat, axis=1, keepdims=True))
+    acc(dln2b_ref, jnp.sum(dh2, axis=1, keepdims=True))
+    du = dout.astype(jnp.float32) + _ln_bwd(dh2, h2hat, r2, ln2s_ref[...])
+    du_dt = du.astype(dt)
+
+    acc(dwproj_ref, _mmT(du_dt, ao_ref[0]))
+    acc(dbproj_ref, jnp.sum(du, axis=1, keepdims=True))
+    do_buf[...] = _mTm(wproj_ref[...], du_dt).astype(dt)  # dO [H*HP, T]
+
+    def attn_bwd(h, c0):
+        q = qkv_ref[0, pl.ds(h * hp, hp), pl.ds(c0, acw)]
+        k = qkv_ref[0, pl.ds((heads + h) * hp, hp), pl.ds(c0, acw)]
+        v = qkv_ref[0, pl.ds((2 * heads + h) * hp, hp), pl.ds(c0, acw)]
+        s = jax.lax.dot_general(
+            q, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            s = s + mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p32 = jnp.exp(s - m)
+        denom = jnp.sum(p32, axis=-1, keepdims=True)
+        p32 = p32 * pl.reciprocal(denom, approx=False)
+        p = p32.astype(dt)
+
+        do_h = do_buf[pl.ds(h * hp, hp), pl.ds(c0, acw)]
+        dp = jax.lax.dot_general(
+            do_h, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(
+            do_h, p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(dt)
+        dq = jax.lax.dot_general(
+            k, ds, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            q, ds, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dqkv_buf[pl.ds(h * hp, hp), pl.ds(c0, acw)] = dq.astype(dt)
+        dqkv_buf[pl.ds((heads + h) * hp, hp), pl.ds(c0, acw)] = dk.astype(dt)
+        dqkv_buf[pl.ds((2 * heads + h) * hp, hp), pl.ds(c0, acw)] = \
+            dv.astype(dt)
+
+    def bwd_body(idx, carry):
+        attn_bwd(idx // n_chunks, (idx % n_chunks) * acw)
+        return carry
+
+    jax.lax.fori_loop(0, heads * n_chunks, bwd_body, 0, unroll=1)
+
+    dqkv = dqkv_buf[...]
+    acc(dwqkv_ref, _mmT(dqkv, h1))
+    acc(dbqkv_ref, jnp.sum(dqkv.astype(jnp.float32), axis=1, keepdims=True))
+    dh1 = _mTm(wqkv_ref[...], dqkv)
+    acc(dln1s_ref, jnp.sum(dh1 * h1hat, axis=1, keepdims=True))
+    acc(dln1b_ref, jnp.sum(dh1, axis=1, keepdims=True))
+    dx = du + _ln_bwd(dh1, h1hat, r1, ln1s_ref[...])
+    dx_ref[0] = dx.astype(dt)
+
+
+def _backward_res(xt, weights: TBlockWeights, dout, res: BlockResiduals, *,
+                  heads: int, hp: int, l: int, scale: float, eps: float,
+                  approx_gelu: bool, interpret: Optional[bool] = None,
+                  acw: Optional[int] = None):
+    if interpret is None:
+        interpret = INTERPRET
+    b, c, n = xt.shape
+    f = heads * hp
+    hidden = weights.wfc1_t.shape[0]
+    cw = _pick_cw(l, n)
+    if acw is None:
+        acw = _pick_acw(l, cw)
+    t_cell = cw
+    grid = (b, n // t_cell)
+
+    def spec(ch):
+        return pl.BlockSpec((1, ch, t_cell), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    dw_shapes = tuple(
+        jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights)
+    dw_specs = tuple(w_spec(w) for w in weights)
+
+    flops_mm = 2 * b * n * (c * weights.wqkv_t.shape[0]
+                            + f * c + 2 * c * hidden)
+    cost = pl.CostEstimate(
+        flops=2 * flops_mm + 7 * b * heads * n * acw * hp,
+        bytes_accessed=(4 * c + 4 * f + c + hidden)
+        * b * n * xt.dtype.itemsize,
+        transcendentals=b * heads * n * acw + b * n * hidden,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_res, heads=heads, hp=hp, l=l, cw=cw,
+                          acw=acw, scale=scale, eps=eps,
+                          approx_gelu=approx_gelu),
+        out_shape=(jax.ShapeDtypeStruct((b, c, n), xt.dtype),) + dw_shapes,
+        grid=grid,
+        in_specs=[spec(c), spec(c), spec(3 * f), spec(f), spec(c),
+                  spec(hidden)] + [w_spec(w) for w in weights],
+        out_specs=(spec(c),) + dw_specs,
+        scratch_shapes=[pltpu.VMEM((3 * f, t_cell), xt.dtype),
+                        pltpu.VMEM((f, t_cell), xt.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # Six streamed input blocks (vs _backward's two) put stage-3
+            # geometry 3.5 MB past the usual 100 MB scoped limit; the chip
+            # has 128 MB of VMEM and this kernel measurably fits at 112.
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xt, dout, res.qkv, res.ao, res.u, res.z, *weights)
+    return outs[0], TBlockWeights(*outs[1:])
+
+
 # ---------------------------------------------------------------------------
 # SPMD wrappers: under a >1-device GSPMD mesh the kernels run inside a
 # shard_map over the 'data' axis so per-shard shapes reach the Pallas
@@ -1196,6 +1525,34 @@ def _backward_spmd(xt, weights: TBlockWeights, dout, **kw):
                          check_vma=False)(xt, weights, dout)
 
 
+def _forward_res_spmd(xt, weights: TBlockWeights, **kw):
+    mode = spmd_mode()
+    if not isinstance(mode, tuple):
+        return _forward_res(xt, weights, **kw)
+    mesh, axes = mode
+    fn = functools.partial(_forward_res, **kw)
+    return jax.shard_map(fn, mesh=mesh, in_specs=(P(axes), P()),
+                         out_specs=(P(axes), P(axes)),
+                         check_vma=False)(xt, weights)
+
+
+def _backward_res_spmd(xt, weights: TBlockWeights, dout, res, **kw):
+    mode = spmd_mode()
+    if not isinstance(mode, tuple):
+        return _backward_res(xt, weights, dout, res, **kw)
+    mesh, axes = mode
+
+    def fn(xt, weights, dout, res):
+        dx, dw = _backward_res(xt, weights, dout, res, **kw)
+        dw = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axes), dw)
+        return dx, dw
+
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(P(axes), P(), P(axes), P(axes)),
+                         out_specs=(P(axes), P()),
+                         check_vma=False)(xt, weights, dout, res)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def fused_block_t(xt, weights: TBlockWeights, heads: int, hp: int, l: int,
                   scale: float, eps: float, approx_gelu: bool):
@@ -1204,13 +1561,21 @@ def fused_block_t(xt, weights: TBlockWeights, heads: int, hp: int, l: int,
 
 
 def _fwd(xt, weights, heads, hp, l, scale, eps, approx_gelu):
+    kernel_path = (BACKWARD == "kernel"
+                   and (jax.default_backend() in ("tpu", "axon")
+                        or INTERPRET))
+    if kernel_path and _save_res_ok(xt.shape[0], xt.shape[2]):
+        out, extras = _forward_res_spmd(
+            xt, weights, heads=heads, hp=hp, l=l, scale=scale, eps=eps,
+            approx_gelu=approx_gelu)
+        return out, (xt, weights, extras)
     out = _forward_spmd(xt, weights, heads=heads, hp=hp, l=l, scale=scale,
                         eps=eps, approx_gelu=approx_gelu)
-    return out, (xt, weights)
+    return out, (xt, weights, None)
 
 
 def _bwd(heads, hp, l, scale, eps, approx_gelu, res, g):
-    xt, weights = res
+    xt, weights, extras = res
     # All fused-forward geometries take the fused backward kernel: since the
     # per-head attention sweeps became fori_loops (one chunk per grid cell),
     # each stage's backward Mosaic payload is ~(chunks x heads)-fold smaller
@@ -1219,9 +1584,12 @@ def _bwd(heads, hp, l, scale, eps, approx_gelu, res, g):
     # unrolled kernels made the helper kill the client beyond stage 3).
     if (BACKWARD == "kernel"
             and (jax.default_backend() in ("tpu", "axon") or INTERPRET)):
-        dx, dws = _backward_spmd(xt, weights, g, heads=heads, hp=hp, l=l,
-                                 scale=scale, eps=eps,
-                                 approx_gelu=approx_gelu)
+        kw = dict(heads=heads, hp=hp, l=l, scale=scale, eps=eps,
+                  approx_gelu=approx_gelu)
+        if extras is not None:
+            dx, dws = _backward_res_spmd(xt, weights, g, extras, **kw)
+        else:
+            dx, dws = _backward_spmd(xt, weights, g, **kw)
         dws = TBlockWeights(*[gg.astype(w.dtype)
                               for gg, w in zip(dws, weights)])
         return dx, dws

@@ -327,3 +327,66 @@ def test_fused_backward_kernel_vs_reference(rng, ws, hw, opts):
                           jax.tree_util.tree_leaves(dw_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("ws,hw", [(4, 16), (0, 16)])
+def test_residual_saving_backward_vs_reference(rng, ws, hw):
+    """_forward_res must reproduce _forward's output exactly, and
+    _backward_res (reading the saved qkv/attn-out/u/z instead of recomputing
+    them) must match autodiff of the token-major reference."""
+    c, heads, d = 32, 2, 16
+    hp = fbt.round_hp(d)
+    weights = make_weights(rng, c, heads, d, 4 * c, hp)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32) * 0.5)
+    xt = fbt.to_t(x, ws)
+    l = ws * ws if ws else hw * hw
+    kw = dict(heads=heads, hp=hp, l=l, scale=d ** -0.5, eps=1e-6,
+              approx_gelu=True)
+    g = jnp.asarray(rng.standard_normal(xt.shape).astype(np.float32) * 0.1)
+
+    out_plain = fbt._forward(xt, weights, interpret=True, **kw)
+    out_res, extras = fbt._forward_res(xt, weights, interpret=True, **kw)
+    np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_res))
+
+    dx_k, dw_k = fbt._backward_res(xt, weights, g, extras,
+                                   interpret=True, **kw)
+    _, vjp = jax.vjp(lambda xx, w: fbt.block_t_reference(xx, w, **kw),
+                     xt, weights)
+    dx_r, dw_r = vjp(g)
+
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r),
+                               atol=2e-3, rtol=1e-3)
+    for name, a, b in zip(fbt.TBlockWeights._fields,
+                          jax.tree_util.tree_leaves(dw_k),
+                          jax.tree_util.tree_leaves(dw_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-3, err_msg=name)
+
+
+def test_residual_saving_vjp_path(rng, monkeypatch):
+    """fused_block_t's custom_vjp with SAVE_RESIDUALS forced on (interpret)
+    must match the recompute backward's gradients (up to f32
+    reduction-order noise — measured maxabs ~1e-3 at grad scale ~1e4)."""
+    monkeypatch.setattr(fbt, "INTERPRET", True)
+    c, heads, d, ws, hw = 32, 2, 16, 4, 16
+    hp = fbt.round_hp(d)
+    weights = make_weights(rng, c, heads, d, 4 * c, hp)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32) * 0.5)
+    xt = fbt.to_t(x, ws)
+    kw = (heads, hp, ws * ws, d ** -0.5, 1e-6, True)
+
+    def loss(xx, w):
+        return jnp.sum(fbt.fused_block_t(xx, w, *kw) ** 2)
+
+    monkeypatch.setattr(fbt, "SAVE_RESIDUALS", "1")
+    gx_res, gw_res = jax.grad(loss, argnums=(0, 1))(xt, weights)
+    monkeypatch.setattr(fbt, "SAVE_RESIDUALS", "0")
+    gx_rec, gw_rec = jax.grad(loss, argnums=(0, 1))(xt, weights)
+
+    np.testing.assert_allclose(np.asarray(gx_res), np.asarray(gx_rec),
+                               atol=2e-3, rtol=1e-3)
+    for name, a, b in zip(fbt.TBlockWeights._fields,
+                          jax.tree_util.tree_leaves(gw_res),
+                          jax.tree_util.tree_leaves(gw_rec)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3, err_msg=name)
