@@ -69,6 +69,23 @@ class ResultManager:
             return "medium"
         return "bad"
 
+    def save_metrics(self, dataset_name: str, filename: str,
+                     metrics: Dict[str, float]) -> str:
+        """Write {name}_metrics.json without visualizations (the reference
+        writes per-image metrics unconditionally; reference:
+        engine/evaluator.py:211-213)."""
+        category = self.determine_quality_category(metrics)
+        metrics_file = (
+            self.dataset_dirs[dataset_name]["metrics"] / category
+            / f"{filename}_metrics.json"
+        )
+        try:
+            with open(metrics_file, "w") as f:
+                json.dump(metrics, f, indent=4)
+        except Exception as e:  # per-image failure isolation
+            logger.error(f"Failed to save metrics {filename}: {e}")
+        return category
+
     def save_prediction(
         self, dataset_name: str, filename: str, metrics: Dict[str, float],
         seg_pred: np.ndarray, edge_pred: np.ndarray,
@@ -301,7 +318,8 @@ class Evaluator:
                         [s[i] for s in stage_preds], orig,
                     )
                 else:
-                    category = ResultManager.determine_quality_category(sample_metrics)
+                    category = self.result_manager.save_metrics(
+                        dataset_name, batch.names[i], sample_metrics)
                 counts[category] += 1
             self.timing_stats["processing_times"].append(time.time() - batch_start)
             if n_samples:

@@ -198,9 +198,19 @@ class Trainer:
         self.batch_size = self.config["batch_size"]
         self.num_epochs = self.config["num_epochs"]
         self.grad_clip = self.config.get("gradient_clip", 1.0)
-        self.early_stop_patience = self.config.get("early_stop_patience", 15)
-        self.save_freq = self.config.get("save_freq", 1)
-        self.min_delta = self.config.get("min_delta", 1e-4)
+        # Code fallbacks == reference YAML-implied defaults
+        # (reference: configs/default.yaml:18-36).
+        self.early_stop_patience = self.config.get("early_stop_patience", 20)
+        self.save_freq = self.config.get("save_freq", 20)
+        self.min_delta = self.config.get("min_delta", 5e-4)
+        # Per-phase timing split (reference logs data/forward/.../backward
+        # spans per batch, reference: engine/trainer.py:333-425).  Under jit
+        # the phases fuse into one program, so the split is measured once per
+        # epoch by probing a forward+loss-only program against the full step
+        # (tools/train_ablate.py methodology); costs one extra (cached)
+        # compile and ~2 synced steps per training run.
+        self.phase_timing = self.config.get("phase_timing", True)
+        self._phase_probed = False
         self.buckets = tuple(self.config.get("canvas_buckets", (512, 1024, 2048)))
 
         img_cfg = self.model_config.get("image_processing", {})
@@ -255,9 +265,14 @@ class Trainer:
             )
 
         opt_cfg = self.config.get("optimizer", {})
+        # Code fallbacks match the reference YAML-implied defaults
+        # (reference: configs/default.yaml:22-31) so a user config with no
+        # optimizer:/scheduler: section trains identically to the reference.
         base_lr = opt_cfg.get("learning_rate", 1e-4)
-        wd = opt_cfg.get("weight_decay", 0.01)
-        enc_ratio = opt_cfg.get("encoder_lr_ratio", 0.1)
+        wd = opt_cfg.get("weight_decay", 1e-5)
+        enc_ratio = opt_cfg.get("encoder_lr_ratio", 0.05)
+        self.base_lr, self.weight_decay, self.encoder_lr_ratio = (
+            base_lr, wd, enc_ratio)
 
         self.label_tree = jax.tree_util.tree_map_with_path(
             lambda p, _: _param_label(p), self.params
@@ -293,7 +308,7 @@ class Trainer:
         }
         self.scheduler = PlateauScheduler(
             base_lrs,
-            factor=sch.get("factor", 0.5),
+            factor=sch.get("factor", 0.7),
             patience=sch.get("patience", 5),
             min_lr=sch.get("min_lr", 1e-6),
         )
@@ -379,7 +394,22 @@ class Trainer:
             )
             return ld, seg, edge_m
 
+        def fwd_loss_step(params, batch_stats, images, masks, edges,
+                          mask_hw, edge_hw, sample_w):
+            # Forward + loss only (no grads/optimizer) — the phase-timing
+            # probe's "forward" span.  Resize + loss ride inside it, as they
+            # do inside the fused train step.
+            masks_, edges_ = gt(masks), gt(edges)
+            out, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                prep(images), train=True, mutable=["batch_stats"],
+            )
+            ld = cod_loss(out["predictions"], out["edge"], masks_, edges_,
+                          mask_hw, edge_hw, loss_cfg, sample_w)
+            return ld["loss"]
+
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._fwd_loss_step = jax.jit(fwd_loss_step)
         self._val_step = jax.jit(val_step)
 
     # ------------------------------------------------------------------
@@ -459,16 +489,16 @@ class Trainer:
         # instead of serializing with it (measured 27.6 -> 32.4 img/s).
         pbar = tqdm(loader, desc=f"Epoch {epoch + 1}/{self.num_epochs}",
                     unit="batch", leave=False, mininterval=1.0)
-        pending = []  # [(ld, batch_size, step_idx), ...] len <= 2
+        pending = []  # [(ld, batch_size, step_idx, data_time), ...] len <= 2
         last_finish = [time.time()]
 
         def finish(pending):
-            ld, bsz, i = pending
+            ld, bsz, i, data_t = pending
             metrics = {k: float(v) for k, v in ld.items()}  # device sync
             # Per-batch wall = delta between consecutive syncs (with 2 steps
             # in flight, dispatch-to-sync spans ~3 steps and would overstate).
             now = time.time()
-            timing = {"batch_time": now - last_finish[0]}
+            timing = {"batch_time": now - last_finish[0], "data_time": data_t}
             last_finish[0] = now
             self.monitor.update_batch(metrics, timing, bsz)
             pbar.set_postfix(
@@ -485,15 +515,52 @@ class Trainer:
                 )
 
         for i, batch in enumerate(pbar):
+            t0 = time.time()
             dev = self._put_train_batch(batch)
+            data_t = time.time() - t0
             self.trace.step()
+            if (self.phase_timing and not self._phase_probed
+                    and (i > 0 or epoch > self.start_epoch)):
+                # Phase-split probe on one batch, the first one after the
+                # step has compiled (i>0, or any batch of a later epoch for
+                # single-batch epochs): drain the pipeline, time forward+loss
+                # alone, then the full step; backward_time = step - forward
+                # (incl. optimizer).
+                self._phase_probed = True
+                while pending:
+                    finish(pending.pop(0))
+                fwd_t, bwd_t, step_t, ld = self._probe_phase_timing(dev)
+                self.monitor.update_batch(
+                    {k: float(v) for k, v in ld.items()},
+                    {"batch_time": step_t, "data_time": data_t,
+                     "forward_time": fwd_t, "backward_time": bwd_t},
+                    batch.images.shape[0],
+                )
+                last_finish[0] = time.time()
+                continue
             ld = self._dispatch_train_step(dev)
-            pending.append((ld, batch.images.shape[0], i))
+            pending.append((ld, batch.images.shape[0], i, data_t))
             if len(pending) > 2:
                 finish(pending.pop(0))
         for p in pending:
             finish(p)
         return self.monitor.get_current_stats()
+
+    def _probe_phase_timing(self, dev):
+        """One synced forward+loss-only call vs one synced full step; the
+        difference prices backward+optimizer.  Returns (fwd, bwd, step, ld);
+        the probed batch IS trained on (the full step runs for real)."""
+        with jax.set_mesh(self.mesh):
+            args = (self.params, self.batch_stats) + tuple(dev)
+            float(self._fwd_loss_step(*args))  # compile + warm
+            t0 = time.time()
+            float(self._fwd_loss_step(*args))
+            fwd_t = time.time() - t0
+        t0 = time.time()
+        ld = self._dispatch_train_step(dev)
+        float(ld["loss"])  # forced sync
+        step_t = time.time() - t0
+        return fwd_t, max(step_t - fwd_t, 0.0), step_t, ld
 
     def validate(self, loader, epoch: int) -> Dict[str, float]:
         from tqdm import tqdm

@@ -224,16 +224,26 @@ def _mm(a, b):
     )
 
 
-def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-            bproj_ref, ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
-            bfc2_ref, o_ref, attn_buf, *, heads: int, hp: int, l: int,
-            cw: int, scale: float, eps: float, approx_gelu: bool):
-    dt = o_ref.dtype
-    x = x_ref[0]                               # [C, T]
+def _fwd_math(x, w_refs, ao_ref, ao_pfx, *, heads: int, hp: int, l: int,
+              cw: int, scale: float, eps: float, approx_gelu: bool,
+              qkv_ref=None, u_ref=None, z_ref=None):
+    """Shared forward body of `_kernel` and `_kernel_res`.
+
+    custom_vjp correctness requires the two primals to stay bit-identical,
+    so they share THIS one body instead of two copies (advisor r3).
+    ``w_refs`` are the 12 weight refs in call order; ``ao_ref`` is the
+    attention-output buffer ([H*HP, T] scratch in `_kernel`, the [1, H*HP,
+    T] residual output ref in `_kernel_res`) indexed behind prefix
+    ``ao_pfx``; the optional refs additionally save backward residuals."""
+    (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+     ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref) = w_refs
+    dt = x.dtype
     t = x.shape[1]
 
     h1 = _ln_sub(x, ln1s_ref[...], ln1b_ref[...], eps, dt)
     qkv = (_mm(wqkv_ref[...], h1) + bqkv_ref[...]).astype(dt)  # [3*H*HP, T]
+    if qkv_ref is not None:
+        qkv_ref[0] = qkv
 
     if l < cw:
         # Block-diagonal additive mask, built in-registers (iota) so the
@@ -265,16 +275,37 @@ def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 v, p, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                                   # [HP, CW]
-            attn_buf[h * hp:(h + 1) * hp, c0:c0 + cw] = o.astype(dt)
+            ao_ref[ao_pfx + (slice(h * hp, (h + 1) * hp),
+                             slice(c0, c0 + cw))] = o.astype(dt)
 
-    proj = _mm(wproj_ref[...], attn_buf[...]) + bproj_ref[...]  # [C, T]
-    x = x + proj.astype(dt)
+    ao = ao_ref[ao_pfx + (slice(None), slice(None))]
+    proj = _mm(wproj_ref[...], ao) + bproj_ref[...]             # [C, T]
+    u = x + proj.astype(dt)
+    if u_ref is not None:
+        u_ref[0] = u
 
-    h2 = _ln_sub(x, ln2s_ref[...], ln2b_ref[...], eps, dt)
-    y = _mm(wfc1_ref[...], h2) + bfc1_ref[...]                  # [hidden, T]
-    y = jax.nn.gelu(y, approximate=approx_gelu).astype(dt)
+    h2 = _ln_sub(u, ln2s_ref[...], ln2b_ref[...], eps, dt)
+    z32 = _mm(wfc1_ref[...], h2) + bfc1_ref[...]                # [hidden, T]
+    if z_ref is not None:
+        # The SAVED z is the dt cast — what the recompute backward feeds its
+        # gelu_vjp; the primal gelu stays on the f32 pre-activation.
+        z_ref[0] = z32.astype(dt)
+    y = jax.nn.gelu(z32, approximate=approx_gelu).astype(dt)
     y = _mm(wfc2_ref[...], y) + bfc2_ref[...]                   # [C, T]
-    o_ref[0] = x + y.astype(dt)
+    return u + y.astype(dt)
+
+
+def _kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+            bproj_ref, ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+            bfc2_ref, o_ref, attn_buf, *, heads: int, hp: int, l: int,
+            cw: int, scale: float, eps: float, approx_gelu: bool):
+    o_ref[0] = _fwd_math(
+        x_ref[0],
+        (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+         ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref),
+        attn_buf, (), heads=heads, hp=hp, l=l, cw=cw, scale=scale, eps=eps,
+        approx_gelu=approx_gelu,
+    )
 
 
 def _kernel_res(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -284,61 +315,19 @@ def _kernel_res(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 eps: float, approx_gelu: bool):
     """Forward that additionally WRITES the backward's residuals: qkv, the
     attention output, the mid residual u = x + proj, and the pre-gelu fc1
-    output z.  All four are already computed here; saving them lets
-    `_bwd_kernel_res` skip the qkv/attention-forward/proj/fc1 recompute
+    output z.  All four are already computed in `_fwd_math`; saving them
+    lets `_bwd_kernel_res` skip the qkv/attention-forward/proj/fc1 recompute
     (~26% of the backward's executed MACs at stage-3 geometry).  Values are
     stored in compute dtype — identical to what the recompute produced, so
-    gradients match the recompute backward exactly."""
-    dt = o_ref.dtype
-    x = x_ref[0]                               # [C, T]
-    t = x.shape[1]
-
-    h1 = _ln_sub(x, ln1s_ref[...], ln1b_ref[...], eps, dt)
-    qkv_ref[0] = (_mm(wqkv_ref[...], h1) + bqkv_ref[...]).astype(dt)
-
-    if l < cw:
-        row = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 0) // l
-        col = jax.lax.broadcasted_iota(jnp.int32, (cw, cw), 1) // l
-        mask = jnp.where(row == col, 0.0, _MASK_NEG)           # [CW, CW] f32
-    else:
-        mask = None
-
-    for c0 in range(0, t, cw):
-        for h in range(heads):
-            q = qkv_ref[0, h * hp:(h + 1) * hp, c0:c0 + cw]
-            k = qkv_ref[0, (heads + h) * hp:(heads + h + 1) * hp,
-                        c0:c0 + cw]
-            v = qkv_ref[0, (2 * heads + h) * hp:(2 * heads + h + 1) * hp,
-                        c0:c0 + cw]
-            s = jax.lax.dot_general(
-                q, k, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            if mask is not None:
-                s = s + mask
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
-            p = (p * pl.reciprocal(denom, approx=False)).astype(dt)
-            o = jax.lax.dot_general(
-                v, p, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            ao_ref[0, h * hp:(h + 1) * hp, c0:c0 + cw] = o.astype(dt)
-
-    proj = _mm(wproj_ref[...], ao_ref[0]) + bproj_ref[...]      # [C, T]
-    u = x + proj.astype(dt)
-    u_ref[0] = u
-
-    h2 = _ln_sub(u, ln2s_ref[...], ln2b_ref[...], eps, dt)
-    z32 = _mm(wfc1_ref[...], h2) + bfc1_ref[...]                # [hidden, T]
-    # Primal gelu stays on the f32 pre-activation (bit-identical to
-    # `_kernel`); the SAVED z is the dt cast, matching what the recompute
-    # backward feeds its gelu_vjp.
-    z_ref[0] = z32.astype(dt)
-    y = _mm(wfc2_ref[...], jax.nn.gelu(z32, approximate=approx_gelu)
-            .astype(dt)) + bfc2_ref[...]
-    o_ref[0] = u + y.astype(dt)
+    gradients match the recompute backward exactly; sharing `_fwd_math` with
+    `_kernel` makes the two primals bit-identical by construction."""
+    o_ref[0] = _fwd_math(
+        x_ref[0],
+        (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+         ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref),
+        ao_ref, (0,), heads=heads, hp=hp, l=l, cw=cw, scale=scale, eps=eps,
+        approx_gelu=approx_gelu, qkv_ref=qkv_ref, u_ref=u_ref, z_ref=z_ref,
+    )
 
 
 def _pick_cols(n_tok: int, cw: int, heads: int, cap: int = 2048) -> int:
@@ -426,7 +415,34 @@ def _save_res_ok(b: int, n: int) -> bool:
         return False
     if SAVE_RESIDUALS == "1":
         return True
+    # "auto" thresholds the PER-SHARD residual footprint: under a >1-device
+    # mesh shard_map splits the batch over the data axis before the kernel
+    # sees it (advisor r3 — the global-b form under-enabled on meshes).
+    mode = spmd_mode()
+    if isinstance(mode, tuple):
+        b = max(b // _data_axis_size(mode), 1)
     return b * n <= 32768
+
+
+def _res_bwd_vmem_ok(xt, weights: TBlockWeights, heads: int, hp: int,
+                     l: int) -> bool:
+    """Estimated per-grid-cell VMEM footprint of `_bwd_kernel_res` fits its
+    112 MiB scoped limit.  Gates the residual path OFF (falling back to the
+    recompute backward) for geometries that would otherwise fail at compile
+    time (advisor r3): streamed blocks are double-buffered by Mosaic, the dw
+    accumulators are f32."""
+    b, c, n = xt.shape
+    f = heads * hp
+    hidden = weights.wfc1_t.shape[0]
+    t_cell = _pick_cw(l, n)
+    it = xt.dtype.itemsize
+    w_bytes = sum(int(w.size) for w in weights) * it
+    dw_bytes = sum(int(w.size) for w in weights) * 4
+    streamed = (3 * c + 4 * f + hidden) * t_cell * it  # xt,dout,u + qkv,ao + z
+    dx = c * t_cell * it
+    scratch = 4 * f * t_cell * it
+    total = 2 * (streamed + dx) + scratch + w_bytes + dw_bytes
+    return total <= 112 * 1024 * 1024
 
 
 def _forward_res(xt, weights: TBlockWeights, *, heads: int, hp: int, l: int,
@@ -1564,7 +1580,8 @@ def _fwd(xt, weights, heads, hp, l, scale, eps, approx_gelu):
     kernel_path = (BACKWARD == "kernel"
                    and (jax.default_backend() in ("tpu", "axon")
                         or INTERPRET))
-    if kernel_path and _save_res_ok(xt.shape[0], xt.shape[2]):
+    if (kernel_path and _save_res_ok(xt.shape[0], xt.shape[2])
+            and _res_bwd_vmem_ok(xt, weights, heads, hp, l)):
         out, extras = _forward_res_spmd(
             xt, weights, heads=heads, hp=hp, l=l, scale=scale, eps=eps,
             approx_gelu=approx_gelu)

@@ -116,6 +116,18 @@ def test_training_produces_history_and_checkpoints(trained):
     for key in ("weighted_f", "s_alpha", "mae", "e_phi", "mean_f",
                 "edge_mae", "edge_f"):
         assert key in history["epochs"][0]["val"]["metrics"]
+    # Per-phase timing split (reference trainer.py:333-425): data_time per
+    # batch; forward/backward from the one-shot probe, which fires on the
+    # first batch after the step has compiled (epoch 2 here — single-batch
+    # epochs).
+    timing = history["epochs"][0]["train"]["timing"]
+    for key in ("batch_time", "data_time", "epoch_time"):
+        assert key in timing and timing[key] >= 0.0, key
+    probed = [e["train"]["timing"] for e in history["epochs"]
+              if "forward_time" in e["train"]["timing"]]
+    assert probed, "phase probe never fired"
+    assert probed[0]["forward_time"] >= 0.0
+    assert probed[0]["backward_time"] >= 0.0
     ckpts = list(dm.run_dirs.checkpoints.glob("checkpoint_*"))
     assert ckpts, "periodic checkpoint missing"
     # Loss should decrease over two epochs of this separable synthetic task.
@@ -198,6 +210,10 @@ def test_evaluator_sharded_matches_single(trained, synthetic_dataset):
     for k in m_single:
         np.testing.assert_allclose(m_single[k], m_shard[k], rtol=1e-5,
                                    atol=1e-6, err_msg=k)
+    # Metrics-only eval still writes per-image {name}_metrics.json
+    # (reference: engine/evaluator.py:211-213 writes it unconditionally).
+    per_image = list((out / "eval_single").rglob("*_metrics.json"))
+    assert len(per_image) == 3, per_image
 
 
 def test_predictor_outputs(trained, synthetic_dataset):
@@ -257,6 +273,25 @@ def test_predictor_sharded_matches_single(trained, synthetic_dataset):
     shard = run(create_mesh({"data": 8}), "pred_shard", 3)
     for name in single:
         np.testing.assert_array_equal(single[name], shard[name], err_msg=name)
+
+
+def test_trainer_defaults_match_reference(tmp_path):
+    """A config WITHOUT optimizer:/scheduler: sections must reproduce the
+    reference schedule (reference: configs/default.yaml:22-31 — wd 1e-5,
+    encoder_lr_ratio 0.05, plateau factor 0.7); round-3 verdict weak #6."""
+    from spegnet_tpu.engine.trainer import Trainer
+
+    config = make_config(tmp_path)
+    del config["training"]["optimizer"]
+    del config["training"]["scheduler"]
+    dm = DirectoryManager("train", base_dir=str(tmp_path))
+    t = Trainer(config, dm)
+    assert t.base_lr == 1e-4
+    assert t.weight_decay == 1e-5
+    assert t.encoder_lr_ratio == 0.05
+    assert t.scheduler.factor == 0.7
+    assert t.scheduler.patience == 5 and t.scheduler.min_lr == 1e-6
+    assert t.scheduler.base_lrs["encoder"] == pytest.approx(1e-4 * 0.05)
 
 
 def test_u8_wire_one_step(synthetic_dataset, tmp_path):

@@ -55,8 +55,9 @@ def test_gradients_match(rng):
     (2, 2, 3, 4),      # minimum size (border paste touches everything)
 ])
 def test_bwd_forms_match(rng, monkeypatch, form, h, w, cin, cout):
-    """Every selectable backward lowering (incl. the hand-formed one the
-    decoder uses at Cout >= 128) computes the SAME gradient as autodiff of
+    """Every selectable backward lowering — incl. the hand-formed one
+    (selectable via _BWD_FORM, currently off: measured negative, see
+    fused_upsample_conv.py) — computes the SAME gradient as autodiff of
     the resize reference."""
     import spegnet_tpu.ops.fused_upsample_conv as fuc
 
