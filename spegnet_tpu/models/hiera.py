@@ -30,6 +30,7 @@ Feature pyramid out: [H/4 x C1, H/8 x C2, H/16 x C3, H/32 x C4]
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -371,6 +372,59 @@ class MultiScaleBlock(nn.Module):
         fc2 = _LinearParams(self.dim_out, in_features=hidden,
                             dtype=self.dtype, name="mlp_fc2")
 
+        if self.t_ctx is not None and self.q_stride:
+            # Unified-layout (Morton) stage transition: x is [B, C, N] in
+            # Z-order at the INPUT grid (h, w); output is [B, Cout, N/4] in
+            # Z-order at (h/2, w/2) — the qpool kernel's ::4 compaction IS
+            # the Morton pooling map, so no relayout exists anywhere.  The
+            # proj + MLP tail runs in the same [B, C, N] layout (channels
+            # on sublanes), replacing the window-major path's two
+            # token-major transposes + from_t + to_t (tools/morton_seg.py:
+            # 2.6 ms/fwd batch-16 across the three transitions).
+            heads, d = self.num_heads, self.dim_out // self.num_heads
+            hp = fbt.round_hp(d)
+            dt = self.dtype
+            h, w, l = self.t_ctx
+            proj_mod = _LinearParams(self.dim_out, in_features=self.dim,
+                                     dtype=self.dtype, name="proj")
+            kq = attn.qkv.kernel.reshape(self.dim, 3, heads, d)
+            kq = kq.transpose(1, 2, 3, 0)
+            kq = jnp.pad(kq, ((0, 0), (0, 0), (0, hp - d), (0, 0)))
+            kq = kq.reshape(3 * heads * hp, self.dim)
+            bq = jnp.pad(attn.qkv.bias.reshape(3, heads, d),
+                         ((0, 0), (0, 0), (0, hp - d))).reshape(-1, 1)
+            wts = fbt.QPoolWeights(
+                ln_scale=norm1.scale.reshape(-1, 1),
+                ln_bias=norm1.bias.reshape(-1, 1),
+                wqkv_t=kq.astype(dt), bqkv_t=bq.astype(dt),
+                wsc_t=proj_mod.kernel.T.astype(dt),
+                bsc_t=proj_mod.bias.reshape(-1, 1).astype(dt),
+            )
+            o_p, sc_p = fbt.qpool_front(x, wts, heads, hp, l,
+                                        d ** -0.5, 1e-6)
+            kp = attn.proj.kernel.reshape(heads, d, self.dim_out)
+            kp = jnp.pad(kp, ((0, 0), (0, hp - d), (0, 0)))
+            kp = kp.reshape(heads * hp, self.dim_out)
+            out1 = sc_p + (
+                jnp.einsum("fc,bfn->bcn", kp.astype(dt), o_p,
+                           preferred_element_type=jnp.float32).astype(dt)
+                + attn.proj.bias.astype(dt)[None, :, None])
+            # LN + MLP in the transposed layout (channels on sublanes).
+            y32 = out1.astype(jnp.float32)
+            mu = y32.mean(1, keepdims=True)
+            yc = y32 - mu
+            y = (yc * jax.lax.rsqrt((yc * yc).mean(1, keepdims=True) + 1e-6)
+                 * norm2.scale[None, :, None]
+                 + norm2.bias[None, :, None]).astype(dt)
+            y = jnp.einsum("cf,bcn->bfn", fc1.kernel.astype(dt), y,
+                           preferred_element_type=jnp.float32).astype(dt) \
+                + fc1.bias.astype(dt)[None, :, None]
+            y = nn.gelu(y, approximate=approx_gelu)
+            y = jnp.einsum("fc,bfn->bcn", fc2.kernel.astype(dt), y,
+                           preferred_element_type=jnp.float32).astype(dt) \
+                + fc2.bias.astype(dt)[None, :, None]
+            return out1 + y
+
         if self.t_ctx is not None:
             # Transposed window-major fused path: x is [B, C, N].
             heads, d = attn.num_heads, attn.head_dim
@@ -677,8 +731,27 @@ class Hiera(nn.Module):
         # canonical scan-over-layers remat during training).  Global
         # attention blocks accept any window ordering (softmax attention is
         # permutation-equivariant over tokens).
-        t_order: Optional[int] = None
+        # Layout state: None (NHWC) | int ws (window-major [B, C, N]) |
+        # "z" (Morton [B, C, N] — the unified trunk layout, see
+        # ops/fused_block_t.to_z).  Under Morton, one lane order serves
+        # every window size AND the 2x2 pooling transitions (the qpool
+        # kernel's ::4 compaction is the Morton pooling map), so the whole
+        # trunk runs without a single mid-trunk relayout; stage outputs
+        # for the pyramid exit via from_z on a side edge.
+        t_order = None
         h = w = 0
+
+        def pow2(v: int) -> bool:
+            return v > 0 and (v & (v - 1)) == 0
+
+        h0, w0 = x.shape[1:3]
+        use_z = (
+            os.environ.get("SPEGNET_MORTON", "auto") in ("auto", "1")
+            and self.spatial_axis is None
+            and self.dtype == jnp.bfloat16
+            and USE_PALLAS in ("auto", "1")
+            and h0 == w0 and pow2(h0)
+        )
 
         def block_mod(i, sp, t_ctx=None, weights_only=False, cls=None):
             return (cls or block_cls)(
@@ -696,6 +769,22 @@ class Hiera(nn.Module):
                 h, w = x.shape[1:3]
             ws_i = sp["ws"]
             l_i = ws_i * ws_i if ws_i else h * w
+            if (t_order == "z" and sp["q"] and sp["dim"] != sp["dim_out"]
+                    and ws_i > 1 and ws_i % 2 == 0 and pow2(ws_i)
+                    and ws_i <= h
+                    and fbt.qpool_supported(sp["dim"], sp["heads"], l_i,
+                                            h * w, self.dtype,
+                                            batch=x.shape[0])):
+                # In-layout Morton stage transition: [B, C, N] in, pooled
+                # [B, Cout, N/4] out, still Morton.  A transition is the
+                # FIRST block of the new stage, so it is only also a stage
+                # END for depth-1 stages.
+                x = block_mod(i, sp, t_ctx=(h, w, l_i))(x)
+                h, w = h // 2, w // 2
+                if sp["end"]:
+                    outputs.append(constrain(fbt.from_z(x, (h, w))))
+                i += 1
+                continue
             can_t = (
                 self.spatial_axis is None
                 and sp["dim"] == sp["dim_out"]
@@ -706,14 +795,25 @@ class Hiera(nn.Module):
                 and fbt.supported(sp["dim"], sp["heads"], l_i, h * w,
                                   self.dtype, batch=x.shape[0])
             )
-            fits = can_t and (t_order is None or ws_i == 0
-                              or ws_i == t_order)
-            if t_order is not None and not fits:
-                x = fbt.from_t(x, t_order, (h, w))
-                t_order = None
-            if can_t and t_order is None:
-                t_order = ws_i
-                x = fbt.to_t(x, t_order)
+            if use_z:
+                # Morton serves every window size; only pow2 windows tile
+                # as contiguous lane runs.
+                fits = can_t and (ws_i == 0 or pow2(ws_i))
+                if t_order is not None and not fits:
+                    x = fbt.from_z(x, (h, w))
+                    t_order = None
+                if fits and t_order is None:
+                    t_order = "z"
+                    x = fbt.to_z(x)
+            else:
+                fits = can_t and (t_order is None or ws_i == 0
+                                  or ws_i == t_order)
+                if t_order is not None and not fits:
+                    x = fbt.from_t(x, t_order, (h, w))
+                    t_order = None
+                if can_t and t_order is None:
+                    t_order = ws_i
+                    x = fbt.to_t(x, t_order)
 
             if t_order is not None:
                 # Extend the run over identical specs (dict equality covers
@@ -763,9 +863,16 @@ class Hiera(nn.Module):
                 i += 1
 
             if ended:
-                if t_order is not None:
-                    x = fbt.from_t(x, t_order, (h, w))
-                    t_order = None
-                x = constrain(x)
-                outputs.append(x)
+                if t_order == "z":
+                    # Emit the NHWC pyramid output on a side edge; the
+                    # trunk itself NEVER leaves the Morton layout (the next
+                    # block is an in-layout transition).  Unused outputs
+                    # (stage 1) are dead code under jit.
+                    outputs.append(constrain(fbt.from_z(x, (h, w))))
+                else:
+                    if t_order is not None:
+                        x = fbt.from_t(x, t_order, (h, w))
+                        t_order = None
+                    x = constrain(x)
+                    outputs.append(x)
         return outputs

@@ -516,6 +516,44 @@ class QPoolWeights(NamedTuple):
     bsc_t: jax.Array       # [Cout, 1]
 
 
+def to_z(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, C, N] Morton (Z-order) lane order; requires
+    H == W == 2^k.
+
+    The unified trunk layout (round 4): under Z-order, EVERY aligned
+    2^j x 2^j spatial block is a run of 4^j consecutive lanes, so one lane
+    ordering simultaneously satisfies every stage's needs — attention
+    windows (any ws) are `l` consecutive lanes for both the T-block kernel
+    and the qpool transition front, 2x2 pool groups are aligned 4-lane runs,
+    and the qpool kernel's ::4 compaction maps Morton at (H, W) to Morton at
+    (H/2, W/2) exactly.  The whole trunk therefore runs in ONE [B, C, N]
+    layout: stage boundaries need no relayout at all (measured 2.6 ms/fwd
+    batch-16 vs the window-major scheme's from_t/to_t_micro/token-major
+    tail, tools/morton_seg.py), and the entry/exit permutations cost the
+    same as to_t/from_t (same tool).  Attention is permutation-equivariant
+    within a window, so kernels are unchanged."""
+    b, h, w, c = x.shape
+    k = h.bit_length() - 1
+    assert h == w and (1 << k) == h, (h, w)
+    x = x.reshape((b,) + (2,) * k + (2,) * k + (c,))
+    perm = [0, 1 + 2 * k]
+    for i in range(k):
+        perm += [1 + i, 1 + k + i]
+    return x.transpose(perm).reshape(b, c, h * w)
+
+
+def from_z(xt: jnp.ndarray, hw) -> jnp.ndarray:
+    """Inverse of to_z: [B, C, N] -> [B, H, W, C]."""
+    b, c, n = xt.shape
+    h, w = hw
+    k = h.bit_length() - 1
+    assert h == w and (1 << k) == h and h * w == n, (h, w, n)
+    x = xt.reshape((b, c) + (2, 2) * k)
+    perm = ([0] + [2 + 2 * i for i in range(k)]
+            + [3 + 2 * i for i in range(k)] + [1])
+    return x.transpose(perm).reshape(b, h, w, c)
+
+
 def to_t_micro(x: jnp.ndarray, ws: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B, C, N]: ws x ws window-major, 2x2 micro-windows in
     raster order within each window, raster within each micro-window — so a

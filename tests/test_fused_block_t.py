@@ -176,6 +176,51 @@ def test_hiera_t_scan_path_vs_canonical(rng, monkeypatch):
         assert np.abs(a - b).max() / scale < 0.03, np.abs(a - b).max()
 
 
+def test_hiera_morton_trunk_vs_canonical(rng, monkeypatch):
+    """Full-Morton trunk: every stage run AND all three q-pool transitions
+    execute in one Z-order [B, C, N] layout (no mid-trunk relayout; the
+    trunk loop's `use_z` mode with in-layout transition blocks), compared
+    against the fully decomposed encoder.  All-pow2 window spec so each
+    window is a contiguous lane run at every grid level."""
+    import spegnet_tpu.ops.attention as attmod
+    from spegnet_tpu.models.hiera import HIERA_VARIANTS, Hiera, HieraConfig
+
+    monkeypatch.setattr(
+        fbt, "supported",
+        lambda c, heads, l, n_tok, dtype, batch=None: (
+            c % 16 == 0 and (128 % l == 0 if l < 128 else l % 128 == 0)
+            and fbt._pick_cw(l, n_tok) % max(l, 128) == 0
+            and n_tok % fbt._pick_cw(l, n_tok) == 0),
+    )
+    monkeypatch.setattr(
+        fbt, "qpool_supported",
+        lambda cin, heads, l, n_tok, dtype, batch=None: (
+            cin % 16 == 0 and l % 4 == 0 and l <= 256
+            and (128 % l == 0 if l < 128 else l % 128 == 0)
+            and fbt._pick_cw(l, n_tok) % max(l, 128) == 0
+            and n_tok % fbt._pick_cw(l, n_tok) == 0),
+    )
+    # embed 32, heads 1 -> (1, 2, 4, 8); windows (4, 2, 8, 4): every stage
+    # pow2 so all runs stay in Morton; block 3 is global attention.
+    cfgs = dict(HIERA_VARIANTS)
+    cfgs["zmini"] = HieraConfig(32, 1, (1, 1, 2, 1), (3,), (7, 7),
+                                (4, 2, 8, 4))
+    monkeypatch.setattr("spegnet_tpu.models.hiera.HIERA_VARIANTS", cfgs)
+    enc = Hiera(variant="zmini", dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    fast = enc.apply(variables, x)
+
+    monkeypatch.setattr(attmod, "USE_PALLAS", "0")
+    ref = enc.apply(variables, x)
+    assert [o.shape for o in fast] == [o.shape for o in ref]
+    for a, b in zip(fast, ref):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / scale < 0.03, np.abs(a - b).max()
+
+
 @pytest.mark.parametrize("cin,heads,d,ws,hw", [
     (32, 2, 24, 4, 16),    # t12-like (L = 16)
     (32, 2, 16, 16, 32),   # t23-like (L = 256, widened gate)

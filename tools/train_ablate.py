@@ -68,6 +68,9 @@ def main():
     B, size = args.batch, 512
     parts = args.parts.split(",") if args.parts != "all" else [
         "enc", "full", "step"]
+    # extra parts (not in "all"): "model" (grad of sum over raw model
+    # outputs — full minus the loss backward), "opt" (optimizer-only pass
+    # over synthetic grads: clip + adam + apply, params-shaped).
 
     from spegnet_tpu.models.hiera import Hiera
     from spegnet_tpu.models.spegnet import SPEGNet, SPEGNetConfig
@@ -101,7 +104,8 @@ def main():
 
         report("enc grad (prod path)", chain(stepfn, (ev["params"], x)))
 
-    if "full" in parts or "step" in parts:
+    if "full" in parts or "step" in parts or "model" in parts or \
+            "opt" in parts:
         from spegnet_tpu.losses import LossConfig, cod_loss
 
         cfg = SPEGNetConfig(variant="large", compute_dtype="bfloat16")
@@ -122,6 +126,52 @@ def main():
             ld = cod_loss(out["predictions"], out["edge"], masks, edges,
                           hw, hw, lc, sw)
             return ld["loss"], mut["batch_stats"]
+
+        if "model" in parts:
+            def model_loss(p, bs, x):
+                out, mut = model.apply({"params": p, "batch_stats": bs}, x,
+                                       train=True, mutable=["batch_stats"])
+                s = sum(jnp.sum(o.astype(jnp.float32)) * 1e-9
+                        for o in out["predictions"])
+                s = s + jnp.sum(out["edge"].astype(jnp.float32)) * 1e-9
+                return s, mut["batch_stats"]
+
+            gm = jax.grad(model_loss, has_aux=True)
+
+            def modelstep(p, bs, x):
+                gp, nbs = gm(p, bs, x)
+                s = jax.tree_util.tree_reduce(
+                    lambda a, b: a + jnp.sum(b.astype(jnp.float32))
+                    * 1e-12, gp, jnp.float32(0))
+                return (jax.tree_util.tree_map(lambda a, b: a, p, gp), nbs,
+                        x + s.astype(x.dtype))
+
+            report("model grad (no loss)", chain(modelstep, (params, bs, x)))
+
+        if "opt" in parts:
+            import optax
+
+            # The production transform chain (clip + per-group adam + wd)
+            # approximated with the same optax ops (ungrouped).
+            tx = optax.chain(optax.clip_by_global_norm(1.0),
+                             optax.scale_by_adam(),
+                             optax.add_decayed_weights(1e-5))
+            opt = tx.init(params)
+            gsyn = jax.tree_util.tree_map(
+                lambda p: (jnp.ones_like(p) * 1e-4), params)
+
+            def optstep(p, opt, g):
+                up, nopt = tx.update(g, opt, p)
+                np_ = jax.tree_util.tree_map(
+                    lambda a, u: a - 1e-4 * u.astype(a.dtype), p, up)
+                s = jnp.sum(np_["decoder"]["block2"]["conv2"]["bias"]
+                            .astype(jnp.float32)) * 1e-9
+                g2 = dict(g)
+                g2["decoder"] = jax.tree_util.tree_map(
+                    lambda gg: gg + s.astype(gg.dtype), g["decoder"])
+                return np_, nopt, g2
+
+            report("optimizer only", chain(optstep, (params, opt, gsyn)))
 
         if "full" in parts:
             gf = jax.grad(loss_fn, has_aux=True)
