@@ -13,9 +13,11 @@ train_img_per_sec times the full jitted train step (forward + canvas loss +
 backward + clipped multi-group AdamW) at per-chip batch 16.
 
 Driver-budget contract (round-3 lesson, BENCH_r03.json rc=124): a complete
-JSON line is printed after the forward phase (train fields null) and again
-after the train phase; the driver takes the LAST parseable line, so a
-timeout in any later phase can no longer erase the record.
+JSON line is printed after EVERY phase (fwd sweep -> train -> parity, in
+decreasing order of importance; missing fields null); the driver takes the
+LAST parseable line, so a timeout in any later phase can no longer erase
+the record, and each phase is sized to fit its timeout with a cold compile
+cache.
 
 Timing methodology: the axon tunnel makes block_until_ready unreliable for
 wall-clock, so each measurement dispatches N steps where each step consumes
@@ -55,14 +57,18 @@ def bench_batch(model, variables, batch: int, size: int = 512, steps: int = 8,
     def chain(variables, x, n):
         # n sequential forwards with a data dependency between steps so the
         # measurement can't overlap them; the perturbation is numerically
-        # negligible but defeats CSE.
-        def body(i, x):
-            y = fwd(variables, x)
-            bias = jnp.mean(y.astype(jnp.float32)) * 1e-6
-            return x + bias.astype(x.dtype)
+        # negligible but defeats CSE.  The model body appears ONCE in the
+        # program (the final readback folds into the loop carry) — the
+        # remote compile helper's time scales with program size, and the r04
+        # cold-cache validation run watched a two-instance chain compile for
+        # 11 minutes.
+        def body(i, carry):
+            x, s = carry
+            m = jnp.mean(fwd(variables, x).astype(jnp.float32))
+            return x + (m * 1e-6).astype(x.dtype), s + m
 
-        x = jax.lax.fori_loop(0, n, body, x)
-        return jnp.sum(fwd(variables, x).astype(jnp.float32))
+        _, s = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
+        return s
 
     x = jax.random.normal(jax.random.PRNGKey(0), (batch, size, size, 3), jnp.bfloat16)
     float(chain(variables, x, warmup))  # compile + warm
@@ -72,8 +78,7 @@ def bench_batch(model, variables, batch: int, size: int = 512, steps: int = 8,
         t0 = time.time()
         float(chain(variables, x, steps))  # one host readback at the end
         best_dt = min(best_dt, time.time() - t0)
-    n_images = (steps + 1) * batch  # fori_loop steps + the final forward
-    return n_images / best_dt
+    return steps * batch / best_dt
 
 
 def bench_train(batch: int = 16, size: int = 512, steps: int = 6):
@@ -127,6 +132,15 @@ def bench_train(batch: int = 16, size: int = 512, steps: int = 6):
         # compile helper) — only then is the step steady-state.
         trainer._process_train_batch(tb)
         trainer._process_train_batch(tb)
+        # Provisional record right after warm-up (a synced 2-step window,
+        # pessimistic: includes per-step readback RTT): survives via
+        # _scan_tag if the real measurement below is cut off.
+        t0 = time.time()
+        for _ in range(2):
+            float(trainer._dispatch_train_step(
+                trainer._put_train_batch(tb))["loss"])
+        prov = (time.time() - t0) / 2
+        print(f"TRAIN_RESULT {batch / prov} {prov}", flush=True)
         # Steady state with the epoch loop's two-step software pipeline:
         # batch k's transfer + dispatch overlap steps k-1/k-2 on device; the
         # loss readback syncs two steps behind so its tunnel RTT hides
@@ -236,7 +250,11 @@ def e2e_mask_parity(variables):
 
 
 def run_fwd():
-    """Inference sweep + kernel parity, one process (prints FWD_RESULT)."""
+    """Inference sweep only (prints FWD_RESULT) — the compile-heavy parity
+    checks live in their own phase (run_parity) so a cold compile cache
+    cannot push the HEADLINE numbers past a phase timeout (the r04 lesson:
+    /tmp/jax_cache had been cleared and the combined phase blew 1500 s on
+    compiles alone; each phase now fits its budget even stone-cold)."""
     from spegnet_tpu.models.spegnet import SPEGNet, SPEGNetConfig
 
     model = SPEGNet(SPEGNetConfig(variant="large", compute_dtype="bfloat16"))
@@ -245,24 +263,33 @@ def run_fwd():
 
     best = 0.0
     best_batch = 1
+    i8_ips = float("nan")
+
+    def progress():
+        # Incremental records: _run_phase takes the LAST tag line, including
+        # from the partial stdout of a timed-out/killed phase — whatever was
+        # measured before the cut survives into the JSON.
+        print(f"FWD_RESULT {best} {best_batch} {i8_ips}", flush=True)
+
     # 128 is the largest batch this environment's remote compile helper
-    # accepts for the forward program (192+ -> HTTP 500).  The sweep is cut
-    # to {16, 128}: the curve is flat in between (ROOFLINE.md) and r03's
-    # full sweep helped push bench.py past the driver's time budget.
-    for batch in (16, 128):
+    # accepts for the forward program (192+ -> HTTP 500); the batch curve is
+    # flat from 16 up (ROOFLINE.md), so 128 is measured first (the headline)
+    # and 16 serves only as the fallback if 128 fails.
+    for batch in (128, 16):
         try:
             ips = bench_batch(model, variables, batch)
-        except Exception as e:  # OOM at large batch: stop the sweep
+        except Exception as e:
             print(f"batch {batch} failed: {e}", file=sys.stderr)
-            break
+            continue
         print(f"batch {batch}: {ips:.1f} img/s ({1000.0 / ips:.2f} ms/img)",
               file=sys.stderr)
         if ips > best:
             best, best_batch = ips, batch
+        progress()
+        break
 
     # Flagged int8 encoder mode at the best bf16 batch (separate headline:
     # `value` stays the exact-semantics number).
-    i8_ips = float("nan")
     try:
         i8_model = SPEGNet(SPEGNetConfig(
             variant="large", compute_dtype="bfloat16", int8_encoder=True))
@@ -272,12 +299,27 @@ def run_fwd():
     except Exception as e:
         print(f"int8 bench failed: {e}", file=sys.stderr)
 
+    progress()
+
+
+def run_parity():
+    """Kernel + e2e parity gates (prints PARITY_RESULT).  Separate phase:
+    the e2e check compiles THREE more full models (bf16 fused, int8, f32
+    decomposed — the f32 one alone is minutes cold through the remote
+    compile helper)."""
+    from spegnet_tpu.models.spegnet import SPEGNet, SPEGNetConfig
+
+    model = SPEGNet(SPEGNetConfig(variant="large", compute_dtype="bfloat16"))
+    x0 = jnp.zeros((1, 512, 512, 3), jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
+
     try:
         attn_err = attention_parity_check()
         print(f"attention parity maxerr: {attn_err:.2e}", file=sys.stderr)
     except Exception as e:
         attn_err = float("nan")
         print(f"attention parity check failed: {e}", file=sys.stderr)
+    print(f"PARITY_RESULT {attn_err} nan nan", flush=True)
     try:
         mask_err, i8_mae, i8_max = e2e_mask_parity(variables)
         print(f"e2e mask parity maxerr: {mask_err:.2e}  "
@@ -286,8 +328,22 @@ def run_fwd():
     except Exception as e:
         mask_err = i8_mae = float("nan")
         print(f"e2e mask parity check failed: {e}", file=sys.stderr)
-    print(f"FWD_RESULT {best} {best_batch} {attn_err} {mask_err} "
-          f"{i8_ips} {i8_mae}", flush=True)
+    print(f"PARITY_RESULT {attn_err} {mask_err} {i8_mae}", flush=True)
+
+
+def _scan_tag(stdout, tag: str):
+    """LAST tag line in (possibly partial, possibly bytes) stdout: phases
+    print progressively-better records, and a timed-out or host-SIGKILLed
+    child still surrenders everything measured before the cut."""
+    if stdout is None:
+        return None
+    if isinstance(stdout, bytes):
+        stdout = stdout.decode(errors="replace")
+    hit = None
+    for line in stdout.splitlines():
+        if line.startswith(tag):
+            hit = line.split()[1:]
+    return hit
 
 
 def _run_phase(flag: str, tag: str, timeout_s: int, attempts: int = 2):
@@ -295,7 +351,9 @@ def _run_phase(flag: str, tag: str, timeout_s: int, attempts: int = 2):
     SIGKILLs long-lived TPU processes (no Python exception, no faulthandler
     output — observed repeatedly), and a kill in one phase must not cost the
     whole JSON line.  The parent NEVER initializes the TPU client (one
-    client per tunnel at a time)."""
+    client per tunnel at a time).  Partial output from a timed-out attempt
+    is honored (see _scan_tag) before any retry result overrides it."""
+    partial = None
     for attempt in range(attempts):
         try:
             proc = subprocess.run(
@@ -304,37 +362,42 @@ def _run_phase(flag: str, tag: str, timeout_s: int, attempts: int = 2):
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             sys.stderr.write(proc.stderr)
-            for line in proc.stdout.splitlines():
-                if line.startswith(tag):
-                    return line.split()[1:]
+            hit = _scan_tag(proc.stdout, tag)
+            if hit:
+                return hit
             print(f"{tag} phase attempt {attempt + 1} died "
                   f"(rc={proc.returncode})", file=sys.stderr)
+        except subprocess.TimeoutExpired as e:
+            if e.stderr:
+                err = e.stderr
+                sys.stderr.write(err.decode(errors="replace")
+                                 if isinstance(err, bytes) else err)
+            partial = _scan_tag(e.stdout, tag) or partial
+            print(f"{tag} phase attempt {attempt + 1} timed out after "
+                  f"{timeout_s}s (partial: {partial})", file=sys.stderr)
         except Exception as e:
             print(f"{tag} phase attempt {attempt + 1} failed: {e}",
                   file=sys.stderr)
         if attempt + 1 < attempts:
             time.sleep(20)  # a killed TPU client wedges the tunnel ~1 min
-    return None
+    return partial
 
 
 def main():
     """Round-3 lesson (BENCH_r03.json rc=124, parsed null): the final JSON
     line must survive a driver timeout in ANY phase.  So a COMPLETE result
-    line (train fields null) is printed immediately after the forward phase,
-    and an updated line after the train phase — the driver takes the last
-    parseable line."""
+    line is (re)printed after EVERY phase — fwd sweep, parity, train — and
+    the driver takes the last parseable line.  Phases are ordered
+    headline-first and sized so each fits its timeout even with a cold
+    compile cache (the r04 validation run measured a combined fwd+parity
+    phase blowing 1500 s stone-cold)."""
     best, best_batch, attn_err, mask_err = 0.0, None, None, None
     i8_ips = i8_mae = None
-    fwd = _run_phase("--fwd-only", "FWD_RESULT", 1500)
+    fwd = _run_phase("--fwd-only", "FWD_RESULT", 1200)
     if fwd:
         best, best_batch = float(fwd[0]), int(fwd[1])
-        attn_err = None if fwd[2] == "nan" else float(fwd[2])
-        if len(fwd) > 3 and fwd[3] != "nan":
-            mask_err = float(fwd[3])
-        if len(fwd) > 4 and fwd[4] != "nan":
-            i8_ips = float(fwd[4])
-        if len(fwd) > 5 and fwd[5] != "nan":
-            i8_mae = float(fwd[5])
+        if len(fwd) > 2 and fwd[2] != "nan":
+            i8_ips = float(fwd[2])
 
     def emit(train_ips, train_step_s, train_batch):
         result = {
@@ -363,7 +426,7 @@ def main():
         }
         print(json.dumps(result), flush=True)
 
-    emit(None, None, None)  # forward record lands even if train is cut off
+    emit(None, None, None)  # headline record lands even if later phases die
 
     train_ips = train_step_s = None
     time.sleep(20)  # let phase 1's TPU client finish tearing down the tunnel
@@ -374,6 +437,18 @@ def main():
               f"({train_step_s:.3f} s/step @ batch 16)", file=sys.stderr)
         emit(train_ips, train_step_s, 16)
 
+    # Parity gates last: pure compile-bound garnish on a warm day, minutes
+    # of f32 compiles on a cold one — it must never cost the perf record.
+    time.sleep(20)
+    par = _run_phase("--parity-only", "PARITY_RESULT", 1500, attempts=1)
+    if par:
+        attn_err = None if par[0] == "nan" else float(par[0])
+        if len(par) > 1 and par[1] != "nan":
+            mask_err = float(par[1])
+        if len(par) > 2 and par[2] != "nan":
+            i8_mae = float(par[2])
+        emit(train_ips, train_step_s, 16)
+
 
 if __name__ == "__main__":
     if "--train-only" in sys.argv:
@@ -381,5 +456,7 @@ if __name__ == "__main__":
         print(f"TRAIN_RESULT {ips} {step_s}", flush=True)
     elif "--fwd-only" in sys.argv:
         run_fwd()
+    elif "--parity-only" in sys.argv:
+        run_parity()
     else:
         main()

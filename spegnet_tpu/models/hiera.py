@@ -400,8 +400,16 @@ class MultiScaleBlock(nn.Module):
                 wsc_t=proj_mod.kernel.T.astype(dt),
                 bsc_t=proj_mod.bias.reshape(-1, 1).astype(dt),
             )
-            o_p, sc_p = fbt.qpool_front(x, wts, heads, hp, l,
-                                        d ** -0.5, 1e-6)
+            if self.int8 and fbt_i8.qpool_supported_i8(
+                    self.dim, heads, l, x.shape[2], dt, batch=x.shape[0]):
+                # W8A8 transition front (t23/t34 — Cin 288/576; t12's
+                # Cin=144 misses the int8 sublane tile and stays bf16).
+                o_p, sc_p = fbt_i8.qpool_front_i8(
+                    x, fbt_i8.pack_qpool_i8(wts), heads, hp, l,
+                    d ** -0.5, 1e-6)
+            else:
+                o_p, sc_p = fbt.qpool_front(x, wts, heads, hp, l,
+                                            d ** -0.5, 1e-6)
             kp = attn.proj.kernel.reshape(heads, d, self.dim_out)
             kp = jnp.pad(kp, ((0, 0), (0, hp - d), (0, 0)))
             kp = kp.reshape(heads * hp, self.dim_out)
@@ -511,8 +519,14 @@ class MultiScaleBlock(nn.Module):
                 bsc_t=proj_mod.bias.reshape(-1, 1).astype(dt),
             )
             xt = fbt.to_t_micro(x, ws)
-            o_p, sc_p = fbt.qpool_front(xt, wts, heads, hp, l,
-                                        d ** -0.5, 1e-6)
+            if self.int8 and fbt_i8.qpool_supported_i8(
+                    self.dim, heads, l, h * w, dt, batch=x.shape[0]):
+                o_p, sc_p = fbt_i8.qpool_front_i8(
+                    xt, fbt_i8.pack_qpool_i8(wts), heads, hp, l,
+                    d ** -0.5, 1e-6)
+            else:
+                o_p, sc_p = fbt.qpool_front(xt, wts, heads, hp, l,
+                                            d ** -0.5, 1e-6)
             kp = attn.proj.kernel.reshape(heads, d, self.dim_out)
             kp = jnp.pad(kp, ((0, 0), (0, hp - d), (0, 0)))
             kp = kp.reshape(heads * hp, self.dim_out)

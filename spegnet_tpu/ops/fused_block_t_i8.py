@@ -48,12 +48,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spegnet_tpu.ops import fused_block_t as _fbt
 from spegnet_tpu.ops.fused_block_t import (
+    QPoolWeights,
     TBlockWeights,
+    _group_max4,
     _ln_sub,
     _MASK_NEG,
+    _mm,
     _pick_cols,
     _pick_cw,
+    _sel4,
     _VMEM_LIMIT,
+    qpool_supported,
     spmd_mode,
     supported,
 )
@@ -254,6 +259,197 @@ def supported_i8(c: int, heads: int, l: int, n_tok: int, dtype,
     quantized contractions carry no alignment garbage.  Excludes stage 1
     (C=144); stages 2/3 (288/576) and the globals qualify."""
     return supported(c, heads, l, n_tok, dtype, batch=batch) and c % 32 == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 Q-pool transition front (BASELINE.md round-4 plan of record)
+# ---------------------------------------------------------------------------
+
+
+class QPoolWeightsI8(NamedTuple):
+    """Row-quantized transition-front weights (mirrors QPoolWeights)."""
+
+    ln_scale: jax.Array    # [Cin, 1] f32
+    ln_bias: jax.Array     # [Cin, 1] f32
+    wqkv_q: jax.Array      # [3*H*HP, Cin] int8
+    sqkv: jax.Array        # [3*H*HP, 1] f32
+    bqkv: jax.Array        # [3*H*HP, 1] f32
+    wsc_q: jax.Array       # [Cout, Cin] int8
+    ssc: jax.Array         # [Cout, 1] f32
+    bsc: jax.Array         # [Cout, 1] f32
+
+
+def pack_qpool_i8(w: QPoolWeights) -> QPoolWeightsI8:
+    """Quantize a transition front's weights (biases promoted to f32)."""
+    wqkv_q, sqkv = quantize_rows(w.wqkv_t)
+    wsc_q, ssc = quantize_rows(w.wsc_t)
+    f32 = jnp.float32
+    return QPoolWeightsI8(
+        ln_scale=w.ln_scale, ln_bias=w.ln_bias,
+        wqkv_q=wqkv_q, sqkv=sqkv, bqkv=w.bqkv_t.astype(f32),
+        wsc_q=wsc_q, ssc=ssc, bsc=w.bsc_t.astype(f32),
+    )
+
+
+def _qpool_kernel_i8(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                     wsc_ref, ssc_ref, bsc_ref, o_ref, sc_ref, *, heads: int,
+                     hp: int, l: int, cw: int, scale: float, eps: float):
+    """Mirror of fused_block_t._qpool_kernel with the two Cin-contractions
+    (qkv + shortcut proj — both share ONE per-token activation quant of the
+    LN output) in W8A8; pooling, lane compaction, and attention stay
+    bf16/f32 exactly as the bf16 kernel."""
+    dt = o_ref.dtype
+    x = x_ref[0]                               # [Cin, T]
+    t = x.shape[1]
+
+    h1 = _ln_sub(x, lns_ref[...], lnb_ref[...], eps, dt)
+    h1q, s1 = _quant_tokens(h1)
+    qkv = _qdot(wqkv_ref[...], sqkv_ref[...], h1q, s1,
+                bqkv_ref[...]).astype(dt)
+    sc = _qdot(wsc_ref[...], ssc_ref[...], h1q, s1,
+               bsc_ref[...]).astype(dt)        # [Cout, T]
+    sc_ref[0] = _mm(_group_max4(sc), _sel4(t, dt)).astype(dt)
+
+    if l < cw:
+        row = (4 * jax.lax.broadcasted_iota(jnp.int32, (cw // 4, cw), 0)) // l
+        col = jax.lax.broadcasted_iota(jnp.int32, (cw // 4, cw), 1) // l
+        mask = jnp.where(row == col, 0.0, _MASK_NEG)
+    else:
+        mask = None
+
+    sel = _sel4(cw, dt)
+    qp = _group_max4(qkv[:heads * hp])         # pooled q (group-start lanes)
+    for c0 in range(0, t, cw):
+        for h in range(heads):
+            q = qp[h * hp:(h + 1) * hp, c0:c0 + cw]
+            qc = jax.lax.dot_general(             # compact: [HP, CW/4]
+                q, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            k = qkv[(heads + h) * hp:(heads + h + 1) * hp, c0:c0 + cw]
+            v = qkv[(2 * heads + h) * hp:(2 * heads + h + 1) * hp,
+                    c0:c0 + cw]
+            s = jax.lax.dot_general(
+                qc, k, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                             # [CW/4, CW]
+            if mask is not None:
+                s = s + mask
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p * pl.reciprocal(denom, approx=False)).astype(dt)
+            o = jax.lax.dot_general(
+                v, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                     # [HP, CW/4]
+            o_ref[0, h * hp:(h + 1) * hp, c0 // 4:(c0 + cw) // 4] = \
+                o.astype(dt)
+
+
+def _qpool_forward_i8(xt, weights: QPoolWeightsI8, *, heads: int, hp: int,
+                      l: int, scale: float, eps: float,
+                      interpret: Optional[bool] = None,
+                      cw: Optional[int] = None, t_cap: Optional[int] = None):
+    if interpret is None:
+        interpret = _fbt.INTERPRET
+    b, cin, n = xt.shape
+    cout = weights.wsc_q.shape[0]
+    if cw is None:
+        cw = _pick_cw(l, n)
+    t_cell = _pick_cols(n, cw, heads, t_cap or 2048)
+    grid = (b, n // t_cell)
+
+    def spec(c):
+        return pl.BlockSpec((1, c, t_cell), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    cost = pl.CostEstimate(
+        flops=2 * b * n * cin * (weights.wqkv_q.shape[0] + cout)
+        + 4 * b * heads * n * cw * hp,
+        bytes_accessed=2 * b * n * (cin + cout) * xt.dtype.itemsize,
+        transcendentals=b * heads * n * cw,
+    )
+
+    def out_spec(c):
+        return pl.BlockSpec((1, c, t_cell // 4), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_qpool_kernel_i8, heads=heads, hp=hp, l=l, cw=cw,
+                          scale=scale, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((b, heads * hp, n // 4), xt.dtype),
+                   jax.ShapeDtypeStruct((b, cout, n // 4), xt.dtype)),
+        grid=grid,
+        in_specs=[spec(cin)] + [w_spec(w) for w in weights],
+        out_specs=(out_spec(heads * hp), out_spec(cout)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xt, *weights)
+
+
+def qpool_front_i8(xt, weights: QPoolWeightsI8, heads: int, hp: int, l: int,
+                   scale: float, eps: float, **kw):
+    """W8A8 transition front: same contract as fused_block_t.qpool_front,
+    inference-only (no custom_vjp — training runs the bf16 path).
+    Shard_mapped over the data axis under a >1-device GSPMD mesh."""
+    mode = spmd_mode()
+    fn = functools.partial(_qpool_forward_i8, heads=heads, hp=hp, l=l,
+                           scale=scale, eps=eps, **kw)
+    if not isinstance(mode, tuple):
+        return fn(xt, weights)
+    mesh, axes = mode
+    return jax.shard_map(fn, mesh=mesh, in_specs=(P(axes), P()),
+                         out_specs=(P(axes), P(axes)),
+                         check_vma=False)(xt, weights)
+
+
+def qpool_supported_i8(cin: int, heads: int, l: int, n_tok: int, dtype,
+                       batch: Optional[int] = None) -> bool:
+    """int8 transition-front eligibility: the bf16 front's geometry rules
+    plus whole int8 sublane tiles on the contraction width (Cin % 32 == 0).
+    t23 (Cin=288) and t34 (Cin=576) qualify; t12 (Cin=144) stays bf16."""
+    return (qpool_supported(cin, heads, l, n_tok, dtype, batch=batch)
+            and cin % 32 == 0)
+
+
+def qpool_i8_reference(xt, weights: QPoolWeightsI8, *, heads: int, hp: int,
+                       l: int, scale: float, eps: float):
+    """Token-major XLA twin of _qpool_kernel_i8 (identical quant math):
+    parity oracle, mirrors fused_block_t.qpool_front_reference."""
+    b, cin, n = xt.shape
+    dt = xt.dtype
+    w = weights
+    x = xt.transpose(0, 2, 1)                  # [B, N, Cin]
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    h1 = (xc * jax.lax.rsqrt(var + eps) * w.ln_scale[:, 0]
+          + w.ln_bias[:, 0]).astype(dt)
+    h1q, s1 = _quant_tokens_ref(h1)
+    qkv = _qdot_ref(h1q, s1, w.wqkv_q, w.sqkv, w.bqkv).astype(dt)
+    sc = _qdot_ref(h1q, s1, w.wsc_q, w.ssc, w.bsc).astype(dt)
+    sc_p = sc.reshape(b, n // 4, 4, -1).max(axis=2)          # [B, N/4, Cout]
+
+    t = qkv.reshape(b, n // l, l, 3, heads, hp)
+    q, k, v = t[..., 0, :, :], t[..., 1, :, :], t[..., 2, :, :]
+    qp = q.reshape(b, n // l, l // 4, 4, heads, hp).max(axis=3)
+    s = jnp.einsum("bwqhd,bwkhd->bwhqk", qp, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(dt)
+    o = jnp.einsum("bwhqk,bwkhd->bwqhd", p, v,
+                   preferred_element_type=jnp.float32).astype(dt)
+    o = o.reshape(b, n // 4, heads * hp)
+    return o.transpose(0, 2, 1), sc_p.transpose(0, 2, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -155,6 +155,114 @@ def test_hiera_int8_scan_path(rng, monkeypatch):
         assert float(np.abs(a32 - b32).mean() / denom) < 0.1
 
 
+def _make_qpool_weights(rng, cin, heads, d, hp):
+    cout = heads * d
+    return fbt.QPoolWeights(
+        ln_scale=jnp.asarray(
+            rng.standard_normal((cin, 1)).astype(np.float32) * 0.1 + 1),
+        ln_bias=jnp.asarray(
+            rng.standard_normal((cin, 1)).astype(np.float32) * 0.1),
+        wqkv_t=jnp.asarray(np.pad(
+            rng.standard_normal((3, heads, d, cin)).astype(np.float32) * 0.2,
+            ((0, 0), (0, 0), (0, hp - d), (0, 0))).reshape(-1, cin)),
+        bqkv_t=jnp.asarray(np.pad(
+            rng.standard_normal((3, heads, d)).astype(np.float32) * 0.1,
+            ((0, 0), (0, 0), (0, hp - d))).reshape(-1, 1)),
+        wsc_t=jnp.asarray(
+            rng.standard_normal((cout, cin)).astype(np.float32) * 0.2),
+        bsc_t=jnp.asarray(
+            rng.standard_normal((cout, 1)).astype(np.float32) * 0.1),
+    )
+
+
+@pytest.mark.parametrize("cin,heads,d,ws,hw", [
+    (32, 2, 16, 16, 32),   # t23-like (L = 256)
+    (32, 16, 8, 8, 16),    # t34-like (heads > 8)
+])
+def test_qpool_i8_kernel_matches_i8_reference(rng, cin, heads, d, ws, hw):
+    """Interpret-mode parity of the W8A8 transition front vs the token-major
+    quantized reference (identical quant math -> near-exact; see the 1-code
+    knife-edge allowance in test_i8_kernel_matches_i8_reference)."""
+    hp = fbt.round_hp(d)
+    wts = i8.pack_qpool_i8(_make_qpool_weights(rng, cin, heads, d, hp))
+    x = jnp.asarray(
+        rng.standard_normal((2, hw, hw, cin)).astype(np.float32) * 0.5)
+    xt = fbt.to_t_micro(x, ws)
+    kw = dict(heads=heads, hp=hp, l=ws * ws, scale=d ** -0.5, eps=1e-6)
+    o_ref, sc_ref = i8.qpool_i8_reference(xt, wts, **kw)
+    o_f, sc_f = i8.qpool_front_i8(xt, wts, heads, hp, ws * ws,
+                                  d ** -0.5, 1e-6)
+    for got, want in ((o_f, o_ref), (sc_f, sc_ref)):
+        diff = np.abs(np.asarray(got) - np.asarray(want))
+        assert float((diff > 5e-4).mean()) < 0.01, float((diff > 5e-4).mean())
+        assert float(diff.max()) < 0.2, float(diff.max())
+
+
+def test_qpool_i8_drift_vs_exact_front(rng):
+    """W8A8 front must track the exact front closely on smooth inputs
+    (catastrophic-quantization canary, mirrors test_i8_drift_vs_exact_block)."""
+    cin, heads, d, ws, hw = 32, 2, 16, 4, 16
+    hp = fbt.round_hp(d)
+    w = _make_qpool_weights(rng, cin, heads, d, hp)
+    x = jnp.asarray(
+        rng.standard_normal((2, hw, hw, cin)).astype(np.float32) * 0.5)
+    xt = fbt.to_t_micro(x, ws)
+    kw = dict(heads=heads, hp=hp, l=ws * ws, scale=d ** -0.5, eps=1e-6)
+    for exact, quant in zip(
+            fbt.qpool_front_reference(xt, w, **kw),
+            i8.qpool_i8_reference(xt, i8.pack_qpool_i8(w), **kw)):
+        e = np.asarray(exact, np.float32)
+        q = np.asarray(quant, np.float32)
+        rel = np.abs(q - e) / (np.abs(e).mean() + 1e-6)
+        assert float(rel.mean()) < 5e-2, float(rel.mean())
+        assert float(rel.max()) < 0.5, float(rel.max())
+
+
+def test_qpool_supported_i8_gating():
+    # t12 (Cin=144) excluded: not an int8 sublane-tile multiple
+    assert not i8.qpool_supported_i8(144, 4, 16, 16384, jnp.bfloat16)
+    # t23 / t34 qualify
+    assert i8.qpool_supported_i8(288, 8, 256, 4096, jnp.bfloat16)
+    assert i8.qpool_supported_i8(576, 16, 64, 1024, jnp.bfloat16)
+
+
+def test_qpool_i8_engages_in_model(rng, monkeypatch):
+    """With int8_encoder=True the W8A8 transition front must actually run
+    for the int8-eligible transitions of a Cin%32==0 variant (tiny: 96/192),
+    and never during training (no vjp exists)."""
+    from spegnet_tpu.models import SPEGNet, SPEGNetConfig
+
+    calls = {"n": 0}
+    orig = i8._qpool_forward_i8
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(i8, "_qpool_forward_i8", counting)
+    # widen the geometry gate as the bf16 qpool tests do (production L=256
+    # shapes don't arise at test sizes)
+    monkeypatch.setattr(
+        fbt, "qpool_supported",
+        lambda cin, heads, l, n_tok, dtype, batch=None: (
+            cin % 16 == 0 and l % 4 == 0
+            and (128 % l == 0 if l < 128 else l % 128 == 0)
+            and fbt._pick_cw(l, n_tok) % max(l, 128) == 0
+            and n_tok % fbt._pick_cw(l, n_tok) == 0),
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    q = SPEGNet(SPEGNetConfig(variant="tiny", compute_dtype="bfloat16",
+                              int8_encoder=True))
+    variables = q.init(jax.random.PRNGKey(0), x)
+    p = q.apply(variables, x)["predictions"][-1]
+    assert calls["n"] > 0, "int8 qpool front never engaged"
+    assert np.isfinite(np.asarray(p, np.float32)).all()
+    calls["n"] = 0
+    q.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert calls["n"] == 0
+
+
 def test_i8_spmd_active_on_mesh(rng):
     """Under a >1-device GSPMD mesh the i8 kernel must run shard_mapped and
     match the unsharded result."""
