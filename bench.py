@@ -12,12 +12,18 @@ north-star (the contract number — do not read vs_baseline > 1 as "done").
 train_img_per_sec times the full jitted train step (forward + canvas loss +
 backward + clipped multi-group AdamW) at per-chip batch 16.
 
-Driver-budget contract (round-3 lesson, BENCH_r03.json rc=124): a complete
-JSON line is printed after EVERY phase (fwd sweep -> train -> parity, in
-decreasing order of importance; missing fields null); the driver takes the
-LAST parseable line, so a timeout in any later phase can no longer erase
-the record, and each phase is sized to fit its timeout with a cold compile
-cache.
+Driver-budget contract (rounds 3-4 lesson, BENCH_r0{3,4}.json rc=124): a
+complete JSON line is printed after EVERY phase (fwd sweep -> parity ->
+train; missing fields null); the driver takes the LAST parseable line, so a
+timeout in any later phase can no longer erase the record.  The whole bench
+additionally runs under its OWN deadline (SPEGNET_BENCH_BUDGET_S, default
+1380 s): every phase budget is clamped to the time remaining, retries are
+skipped when they no longer fit, and the parity phase reserves the train
+phase's minimum — worst case the bench finishes in ~23 min, inside the
+driver window that killed rounds 3 and 4.  The parity phase no longer
+recompiles the f32 decomposed reference model every round: its output is
+cached on disk (.bench_cache/parity_ref.npz, fingerprinted against the
+deterministic init weights + input) and only recomputed on mismatch.
 
 Timing methodology: the axon tunnel makes block_until_ready unreliable for
 wall-clock, so each measurement dispatches N steps where each step consumes
@@ -187,17 +193,86 @@ def attention_parity_check() -> float:
     return float(jnp.max(jnp.abs(fused - ref)))
 
 
-def e2e_mask_parity(variables):
-    """Full-model SIGMOID-MASK parity vs the decomposed f32 XLA path, same
-    process/device/weights: (a) the fused bf16 fast paths — the bf16 drift
-    budget measured where it is defined, on output masks (BASELINE.md <=
-    1e-3 MAE north-star; round-2 verdict weak #4 asked for this gate) —
-    and (b) the flagged int8 encoder mode (BASELINE.md plan of record: int8
-    may count toward the 400 target only with this number published).
-    Returns (bf16 maxerr, int8 MAE, int8 maxerr); int8 entries are NaN if
-    that path fails."""
+_REF_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cache", "parity_ref.npz")
+
+
+def _parity_fingerprint(variables, x) -> "np.ndarray":
+    """Tiny on-device fingerprint of (init weights, parity input): per-leaf
+    f32 sums are order-reduced to 3 scalars + leaf/param counts.  The init
+    and the input are both deterministic (PRNGKey 0 / 7), so the cached f32
+    reference output stays valid across rounds unless the model definition
+    or JAX's init math changes — which this detects."""
+    import numpy as np
+
+    @jax.jit
+    def fp(v, x):
+        leaves = jax.tree_util.tree_leaves(v)
+        s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+        s2 = sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in leaves)
+        return jnp.stack([s, s2, jnp.sum(x.astype(jnp.float32))])
+
+    n_leaves = len(jax.tree_util.tree_leaves(variables))
+    n_params = sum(l.size for l in jax.tree_util.tree_leaves(variables))
+    return np.concatenate([np.asarray(fp(variables, x), np.float32),
+                           np.asarray([n_leaves, n_params], np.float32)])
+
+
+def _f32_reference_mask(variables, x):
+    """The decomposed f32 XLA path's sigmoid mask — the parity anchor every
+    fused/bf16/int8 path is measured against.  Cached on disk: the f32
+    512^2 Hiera-L compile is the parity phase's multi-minute long pole
+    (round-4 verdict weak #1), and the weights/input are deterministic."""
+    import numpy as np
+
+    fp = _parity_fingerprint(variables, x)
+    try:
+        z = np.load(_REF_CACHE)
+        if np.allclose(z["fingerprint"], fp, rtol=1e-6, atol=1e-4):
+            print("parity: using cached f32 reference", file=sys.stderr)
+            return z["mask"]
+        print(f"parity: fingerprint mismatch (cache {z['fingerprint']} vs "
+              f"{fp}), recomputing f32 reference", file=sys.stderr)
+    except FileNotFoundError:
+        print("parity: no cached f32 reference, computing", file=sys.stderr)
+    except Exception as e:
+        print(f"parity: cache read failed ({e}), recomputing", file=sys.stderr)
+
     import spegnet_tpu.ops.attention as attmod
 
+    from spegnet_tpu.models.spegnet import SPEGNet, SPEGNetConfig
+
+    ref_model = SPEGNet(SPEGNetConfig(variant="large", compute_dtype="float32"))
+    old = attmod.USE_PALLAS
+    attmod.USE_PALLAS = "0"
+    try:
+        @jax.jit
+        def ref(v, x):
+            return jax.nn.sigmoid(
+                ref_model.apply(v, x)["predictions"][-1].astype(jnp.float32))
+
+        r = np.asarray(jax.device_get(ref(variables, x)))
+    finally:
+        attmod.USE_PALLAS = old
+    try:
+        os.makedirs(os.path.dirname(_REF_CACHE), exist_ok=True)
+        np.savez_compressed(_REF_CACHE, mask=r, fingerprint=fp)
+        print(f"parity: cached f32 reference at {_REF_CACHE}", file=sys.stderr)
+    except Exception as e:
+        print(f"parity: cache write failed ({e})", file=sys.stderr)
+    return r
+
+
+def e2e_mask_parity(variables):
+    """Full-model SIGMOID-MASK parity vs the decomposed f32 XLA path, same
+    device/weights: (a) the fused bf16 fast paths — the bf16 drift budget
+    measured where it is defined, on output masks (BASELINE.md <= 1e-3 MAE
+    north-star; round-2 verdict weak #4 asked for this gate) — and (b) the
+    flagged int8 encoder mode (BASELINE.md plan of record: int8 may count
+    toward the 400 target only with this number published).  Returns
+    (bf16 maxerr, int8 MAE, int8 maxerr); int8 entries are NaN if that path
+    fails.  The f32 reference comes from the fingerprinted disk cache
+    (_f32_reference_mask) so this phase is compile-light."""
     from spegnet_tpu.models.spegnet import SPEGNet, SPEGNetConfig
 
     x = jax.random.normal(jax.random.PRNGKey(7), (4, 512, 512, 3), jnp.float32)
@@ -229,18 +304,7 @@ def e2e_mask_parity(variables):
         print(f"int8 mask parity failed: {e}", file=sys.stderr)
         q = None
 
-    ref_model = SPEGNet(SPEGNetConfig(variant="large", compute_dtype="float32"))
-    old = attmod.USE_PALLAS
-    attmod.USE_PALLAS = "0"
-    try:
-        @jax.jit
-        def ref(v, x):
-            return jax.nn.sigmoid(
-                ref_model.apply(v, x)["predictions"][-1].astype(jnp.float32))
-
-        r = jax.device_get(ref(variables, x))
-    finally:
-        attmod.USE_PALLAS = old
+    r = _f32_reference_mask(variables, x)
 
     if q is not None:
         d = np.abs(np.asarray(q) - np.asarray(r))
@@ -289,15 +353,20 @@ def run_fwd():
         break
 
     # Flagged int8 encoder mode at the best bf16 batch (separate headline:
-    # `value` stays the exact-semantics number).
-    try:
-        i8_model = SPEGNet(SPEGNetConfig(
-            variant="large", compute_dtype="bfloat16", int8_encoder=True))
-        i8_ips = bench_batch(i8_model, variables, best_batch)
-        print(f"int8 batch {best_batch}: {i8_ips:.1f} img/s "
-              f"({1000.0 / i8_ips:.2f} ms/img)", file=sys.stderr)
-    except Exception as e:
-        print(f"int8 bench failed: {e}", file=sys.stderr)
+    # `value` stays the exact-semantics number).  Skipped when no bf16 batch
+    # succeeded: an int8 number at the placeholder batch would not be
+    # comparable to any headline configuration (advisor round-4 finding).
+    if best > 0:
+        try:
+            i8_model = SPEGNet(SPEGNetConfig(
+                variant="large", compute_dtype="bfloat16", int8_encoder=True))
+            i8_ips = bench_batch(i8_model, variables, best_batch)
+            print(f"int8 batch {best_batch}: {i8_ips:.1f} img/s "
+                  f"({1000.0 / i8_ips:.2f} ms/img)", file=sys.stderr)
+        except Exception as e:
+            print(f"int8 bench failed: {e}", file=sys.stderr)
+    else:
+        print("int8 bench skipped: no bf16 batch succeeded", file=sys.stderr)
 
     progress()
 
@@ -346,19 +415,38 @@ def _scan_tag(stdout, tag: str):
     return hit
 
 
-def _run_phase(flag: str, tag: str, timeout_s: int, attempts: int = 2):
+_DEADLINE = [float("inf")]  # set by main()
+
+
+def _remaining() -> float:
+    return _DEADLINE[0] - time.time()
+
+
+def _run_phase(flag: str, tag: str, timeout_s: int, attempts: int = 2,
+               reserve_s: float = 0.0, min_useful_s: float = 120.0):
     """Run a bench phase as a subprocess with retry: this host sporadically
     SIGKILLs long-lived TPU processes (no Python exception, no faulthandler
     output — observed repeatedly), and a kill in one phase must not cost the
     whole JSON line.  The parent NEVER initializes the TPU client (one
     client per tunnel at a time).  Partial output from a timed-out attempt
-    is honored (see _scan_tag) before any retry result overrides it."""
+    is honored (see _scan_tag) before any retry result overrides it.
+
+    Every attempt's timeout is clamped to the bench-wide deadline minus
+    `reserve_s` (time promised to later phases); attempts that no longer
+    have `min_useful_s` are skipped outright — so retries can never push
+    the whole bench past the driver window (rounds 3-4 rc=124 lesson)."""
     partial = None
     for attempt in range(attempts):
+        budget = min(float(timeout_s), _remaining() - reserve_s)
+        if budget < min_useful_s:
+            print(f"{tag} phase attempt {attempt + 1} skipped: "
+                  f"{budget:.0f}s left (< {min_useful_s:.0f}s useful)",
+                  file=sys.stderr)
+            break
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), flag],
-                capture_output=True, text=True, timeout=timeout_s,
+                capture_output=True, text=True, timeout=budget,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             sys.stderr.write(proc.stderr)
@@ -374,7 +462,7 @@ def _run_phase(flag: str, tag: str, timeout_s: int, attempts: int = 2):
                                  if isinstance(err, bytes) else err)
             partial = _scan_tag(e.stdout, tag) or partial
             print(f"{tag} phase attempt {attempt + 1} timed out after "
-                  f"{timeout_s}s (partial: {partial})", file=sys.stderr)
+                  f"{budget:.0f}s (partial: {partial})", file=sys.stderr)
         except Exception as e:
             print(f"{tag} phase attempt {attempt + 1} failed: {e}",
                   file=sys.stderr)
@@ -384,16 +472,20 @@ def _run_phase(flag: str, tag: str, timeout_s: int, attempts: int = 2):
 
 
 def main():
-    """Round-3 lesson (BENCH_r03.json rc=124, parsed null): the final JSON
-    line must survive a driver timeout in ANY phase.  So a COMPLETE result
-    line is (re)printed after EVERY phase — fwd sweep, parity, train — and
-    the driver takes the last parseable line.  Phases are ordered
-    headline-first and sized so each fits its timeout even with a cold
-    compile cache (the r04 validation run measured a combined fwd+parity
-    phase blowing 1500 s stone-cold)."""
+    """Rounds 3-4 lesson (BENCH_r0{3,4}.json rc=124): the final JSON line
+    must survive a driver timeout in ANY phase, and the bench TOTAL must fit
+    the driver window.  A COMPLETE result line is (re)printed after every
+    phase — fwd sweep, parity, train — and the driver takes the last
+    parseable one.  Phase order: headline first; parity SECOND (it is
+    compile-light now that the f32 reference is disk-cached, and r04 lost
+    the accuracy gates by running it last); train last but protected by a
+    reserve so parity retries can't starve it.  Everything runs under the
+    bench-wide deadline (SPEGNET_BENCH_BUDGET_S, default 1380 s ~ 23 min)."""
+    _DEADLINE[0] = time.time() + float(
+        os.environ.get("SPEGNET_BENCH_BUDGET_S", "1380"))
     best, best_batch, attn_err, mask_err = 0.0, None, None, None
     i8_ips = i8_mae = None
-    fwd = _run_phase("--fwd-only", "FWD_RESULT", 1200)
+    fwd = _run_phase("--fwd-only", "FWD_RESULT", 600, reserve_s=500.0)
     if fwd:
         best, best_batch = float(fwd[0]), int(fwd[1])
         if len(fwd) > 2 and fwd[2] != "nan":
@@ -430,24 +522,25 @@ def main():
 
     train_ips = train_step_s = None
     time.sleep(20)  # let phase 1's TPU client finish tearing down the tunnel
-    tr = _run_phase("--train-only", "TRAIN_RESULT", 1200)
-    if tr:
-        train_ips, train_step_s = float(tr[0]), float(tr[1])
-        print(f"train: {train_ips:.1f} img/s "
-              f"({train_step_s:.3f} s/step @ batch 16)", file=sys.stderr)
-        emit(train_ips, train_step_s, 16)
-
-    # Parity gates last: pure compile-bound garnish on a warm day, minutes
-    # of f32 compiles on a cold one — it must never cost the perf record.
-    time.sleep(20)
-    par = _run_phase("--parity-only", "PARITY_RESULT", 1500, attempts=1)
+    # Parity second (r04 ran it last and lost the accuracy gates to the
+    # driver cut); its budget reserves the train phase's minimum so a parity
+    # retry can never starve the round's centerpiece number.
+    par = _run_phase("--parity-only", "PARITY_RESULT", 420, reserve_s=450.0)
     if par:
         attn_err = None if par[0] == "nan" else float(par[0])
         if len(par) > 1 and par[1] != "nan":
             mask_err = float(par[1])
         if len(par) > 2 and par[2] != "nan":
             i8_mae = float(par[2])
-        emit(train_ips, train_step_s, 16)
+        emit(None, None, None)
+
+    time.sleep(20)
+    tr = _run_phase("--train-only", "TRAIN_RESULT", 600, reserve_s=0.0)
+    if tr:
+        train_ips, train_step_s = float(tr[0]), float(tr[1])
+        print(f"train: {train_ips:.1f} img/s "
+              f"({train_step_s:.3f} s/step @ batch 16)", file=sys.stderr)
+    emit(train_ips, train_step_s, 16)
 
 
 if __name__ == "__main__":

@@ -205,11 +205,15 @@ class Trainer:
         self.min_delta = self.config.get("min_delta", 5e-4)
         # Per-phase timing split (reference logs data/forward/.../backward
         # spans per batch, reference: engine/trainer.py:333-425).  Under jit
-        # the phases fuse into one program, so the split is measured once per
-        # epoch by probing a forward+loss-only program against the full step
-        # (tools/train_ablate.py methodology); costs one extra (cached)
-        # compile and ~2 synced steps per training run.
+        # the phases fuse into one program, so the split is measured by
+        # probing a forward+loss-only program against the full step
+        # (tools/train_ablate.py methodology); costs one (cached) extra
+        # compile and ~2 synced steps per probed epoch.  The probe re-fires
+        # every `phase_timing_freq` epochs (default: every epoch) so
+        # metrics.json carries a timing history that tracks drift across a
+        # long run, like the reference's per-batch spans.
         self.phase_timing = self.config.get("phase_timing", True)
+        self.phase_timing_freq = int(self.config.get("phase_timing_freq", 1))
         self._phase_probed = False
         self.buckets = tuple(self.config.get("canvas_buckets", (512, 1024, 2048)))
 
@@ -481,6 +485,12 @@ class Trainer:
         from tqdm import tqdm
 
         self.monitor.start_epoch()
+        # Re-arm the phase probe on its cadence (once per phase_timing_freq
+        # epochs); the i>0-or-later-epoch guard below still keeps it off the
+        # very first (compiling) batch of a run.
+        if (self.phase_timing and self.phase_timing_freq > 0
+                and (epoch - self.start_epoch) % self.phase_timing_freq == 0):
+            self._phase_probed = False
         # Live progress with a metric postfix (reference: trainer.py:459-477).
         # Two-step software pipeline: transfer batch k and dispatch it while
         # steps k-1/k-2 run on device; read step k-2's losses only after k is

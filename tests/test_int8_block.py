@@ -240,16 +240,21 @@ def test_qpool_i8_engages_in_model(rng, monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(i8, "_qpool_forward_i8", counting)
+
     # widen the geometry gate as the bf16 qpool tests do (production L=256
     # shapes don't arise at test sizes)
-    monkeypatch.setattr(
-        fbt, "qpool_supported",
-        lambda cin, heads, l, n_tok, dtype, batch=None: (
+    def widened(cin, heads, l, n_tok, dtype, batch=None):
+        return (
             cin % 16 == 0 and l % 4 == 0
             and (128 % l == 0 if l < 128 else l % 128 == 0)
             and fbt._pick_cw(l, n_tok) % max(l, 128) == 0
-            and n_tok % fbt._pick_cw(l, n_tok) == 0),
-    )
+            and n_tok % fbt._pick_cw(l, n_tok) == 0)
+
+    # qpool_supported_i8 calls the name captured at from-import time in the
+    # i8 module, so BOTH bindings must be patched for the widened gate to
+    # reach the int8 eligibility check (advisor round-4 finding).
+    monkeypatch.setattr(fbt, "qpool_supported", widened)
+    monkeypatch.setattr(i8, "qpool_supported", widened)
 
     x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
     q = SPEGNet(SPEGNetConfig(variant="tiny", compute_dtype="bfloat16",
