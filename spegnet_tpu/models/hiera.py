@@ -344,6 +344,12 @@ class MultiScaleBlock(nn.Module):
     # W8A8 projections (ops/fused_block_t_i8.py): flagged inference speed
     # mode, eligibility re-checked per geometry (supported_i8).
     int8: bool = False
+    # Sequence parallelism: mesh axis the [B, C, N] token dim is sharded
+    # over.  Windowed kernels run shard-local (halo-free); global-attention
+    # blocks set t_global_ref and run the token-major XLA reference in the
+    # SAME layout, GSPMD inserting the k/v gathering collectives.
+    token_axis: Optional[str] = None
+    t_global_ref: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -400,8 +406,10 @@ class MultiScaleBlock(nn.Module):
                 wsc_t=proj_mod.kernel.T.astype(dt),
                 bsc_t=proj_mod.bias.reshape(-1, 1).astype(dt),
             )
-            if self.int8 and fbt_i8.qpool_supported_i8(
-                    self.dim, heads, l, x.shape[2], dt, batch=x.shape[0]):
+            if (self.int8 and self.token_axis is None
+                    and fbt_i8.qpool_supported_i8(
+                        self.dim, heads, l, x.shape[2], dt,
+                        batch=x.shape[0])):
                 # W8A8 transition front (t23/t34 — Cin 288/576; t12's
                 # Cin=144 misses the int8 sublane tile and stays bf16).
                 o_p, sc_p = fbt_i8.qpool_front_i8(
@@ -409,7 +417,8 @@ class MultiScaleBlock(nn.Module):
                     d ** -0.5, 1e-6)
             else:
                 o_p, sc_p = fbt.qpool_front(x, wts, heads, hp, l,
-                                            d ** -0.5, 1e-6)
+                                            d ** -0.5, 1e-6,
+                                            self.token_axis)
             kp = attn.proj.kernel.reshape(heads, d, self.dim_out)
             kp = jnp.pad(kp, ((0, 0), (0, hp - d), (0, 0)))
             kp = kp.reshape(heads * hp, self.dim_out)
@@ -466,14 +475,26 @@ class MultiScaleBlock(nn.Module):
                 # stacked weights (see Hiera.__call__); this block only
                 # contributes its transposed weight views.
                 return weights
-            if self.int8 and fbt_i8.supported_i8(
-                    self.dim, self.num_heads, l_t, x.shape[2], dt,
-                    batch=x.shape[0]):
+            if self.t_global_ref:
+                # Global attention under sequence parallelism: stay in the
+                # [B, C, N] layout but run the token-major XLA reference —
+                # GSPMD partitions it over the ambient mesh and inserts the
+                # cross-shard k/v collectives (softmax attention is
+                # permutation-equivariant, so the Morton/window-major token
+                # order is immaterial).
+                return fbt.block_t_reference(
+                    x, weights, heads=heads, hp=hp, l=l_t, scale=d ** -0.5,
+                    eps=1e-6, approx_gelu=approx_gelu)
+            if (self.int8 and self.token_axis is None
+                    and fbt_i8.supported_i8(
+                        self.dim, self.num_heads, l_t, x.shape[2], dt,
+                        batch=x.shape[0])):
                 return fbt_i8.fused_block_t_i8(
                     x, fbt_i8.pack_i8(weights), heads, hp, l_t,
                     d ** -0.5, 1e-6, approx_gelu)
             return fbt.fused_block_t(x, weights, heads, hp, l_t,
-                                     d ** -0.5, 1e-6, approx_gelu)
+                                     d ** -0.5, 1e-6, approx_gelu,
+                                     self.token_axis)
 
         h, w = x.shape[1:3]
         ws = self.window_size
@@ -686,17 +707,41 @@ class Hiera(nn.Module):
         x = PatchEmbed(cfg.embed_dim, dtype=self.dtype, name="patch_embed")(x)
         x = x + self._pos_embed(x.shape[1:3])
 
-        def constrain(t):
-            if self.spatial_axis is None:
-                return t
-            from jax.sharding import PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
+        def _sp_mesh():
             mesh = jax.sharding.get_abstract_mesh()
-            if mesh is None or self.spatial_axis not in getattr(mesh, "axis_names", ()):
+            if (self.spatial_axis is None or mesh is None
+                    or getattr(mesh, "empty", False)
+                    or self.spatial_axis not in getattr(mesh, "axis_names", ())):
+                return None
+            return mesh
+
+        def constrain(t):
+            if _sp_mesh() is None:
                 return t  # no sp mesh in context: run unsharded
             return jax.lax.with_sharding_constraint(
                 t, P("data", self.spatial_axis, None, None)
             )
+
+        # Sequence parallelism x fused kernels (SURVEY §5 long-context row):
+        # when the ambient mesh carries the spatial axis (and a 'data' axis,
+        # which the kernels' shard_map wrappers are built around), the
+        # [B, C, N] trunk runs with its TOKEN dim sharded over it — windowed
+        # kernels shard-local and halo-free, global blocks via the in-layout
+        # XLA reference with GSPMD collectives (see MultiScaleBlock).
+        sp_mesh = _sp_mesh()
+        sp_n = 1
+        if (sp_mesh is not None and "data" in sp_mesh.axis_names):
+            sp_n = int(sp_mesh.shape[self.spatial_axis])
+        sp_active = sp_n > 1
+        sp_tok = self.spatial_axis if sp_active else None
+
+        def constrain_t(t):
+            if not sp_active:
+                return t
+            return jax.lax.with_sharding_constraint(
+                t, P("data", None, self.spatial_axis))
 
         x = constrain(x)
 
@@ -761,18 +806,20 @@ class Hiera(nn.Module):
         h0, w0 = x.shape[1:3]
         use_z = (
             os.environ.get("SPEGNET_MORTON", "auto") in ("auto", "1")
-            and self.spatial_axis is None
+            and (self.spatial_axis is None or sp_active)
             and self.dtype == jnp.bfloat16
             and USE_PALLAS in ("auto", "1")
             and h0 == w0 and pow2(h0)
         )
 
-        def block_mod(i, sp, t_ctx=None, weights_only=False, cls=None):
+        def block_mod(i, sp, t_ctx=None, weights_only=False, cls=None,
+                      global_ref=False):
             return (cls or block_cls)(
                 dim=sp["dim"], dim_out=sp["dim_out"], num_heads=sp["heads"],
                 q_stride=sp["q"], window_size=sp["ws"],
                 mlp_ratio=cfg.mlp_ratio, dtype=self.dtype, t_ctx=t_ctx,
                 t_weights_only=weights_only, int8=self.int8,
+                token_axis=sp_tok, t_global_ref=global_ref,
                 name=f"block{i}",
             )
 
@@ -786,28 +833,36 @@ class Hiera(nn.Module):
             if (t_order == "z" and sp["q"] and sp["dim"] != sp["dim_out"]
                     and ws_i > 1 and ws_i % 2 == 0 and pow2(ws_i)
                     and ws_i <= h
+                    and (h * w) % sp_n == 0
                     and fbt.qpool_supported(sp["dim"], sp["heads"], l_i,
-                                            h * w, self.dtype,
+                                            (h * w) // sp_n, self.dtype,
                                             batch=x.shape[0])):
                 # In-layout Morton stage transition: [B, C, N] in, pooled
                 # [B, Cout, N/4] out, still Morton.  A transition is the
                 # FIRST block of the new stage, so it is only also a stage
                 # END for depth-1 stages.
-                x = block_mod(i, sp, t_ctx=(h, w, l_i))(x)
+                x = constrain_t(block_mod(i, sp, t_ctx=(h, w, l_i))(x))
                 h, w = h // 2, w // 2
                 if sp["end"]:
                     outputs.append(constrain(fbt.from_z(x, (h, w))))
                 i += 1
                 continue
+            # Global blocks under sequence parallelism stay IN layout via
+            # the token-major XLA reference (any geometry); everything else
+            # needs the kernel gate at the SHARD-local token count.
+            sp_global = sp_active and ws_i == 0
             can_t = (
-                self.spatial_axis is None
+                (self.spatial_axis is None or sp_active)
                 and sp["dim"] == sp["dim_out"]
                 and not sp["q"]
                 and USE_PALLAS in ("auto", "1")
                 and (ws_i == 0 or (h % ws_i == 0 and w % ws_i == 0))
                 and self.dtype == jnp.bfloat16
-                and fbt.supported(sp["dim"], sp["heads"], l_i, h * w,
-                                  self.dtype, batch=x.shape[0])
+                and (h * w) % sp_n == 0
+                and (sp_global
+                     or fbt.supported(sp["dim"], sp["heads"], l_i,
+                                      (h * w) // sp_n, self.dtype,
+                                      batch=x.shape[0]))
             )
             if use_z:
                 # Morton serves every window size; only pow2 windows tile
@@ -818,7 +873,7 @@ class Hiera(nn.Module):
                     t_order = None
                 if fits and t_order is None:
                     t_order = "z"
-                    x = fbt.to_z(x)
+                    x = constrain_t(fbt.to_z(x))
             else:
                 fits = can_t and (t_order is None or ws_i == 0
                                   or ws_i == t_order)
@@ -827,7 +882,7 @@ class Hiera(nn.Module):
                     t_order = None
                 if can_t and t_order is None:
                     t_order = ws_i
-                    x = fbt.to_t(x, t_order)
+                    x = constrain_t(fbt.to_t(x, t_order))
 
             if t_order is not None:
                 # Extend the run over identical specs (dict equality covers
@@ -838,8 +893,19 @@ class Hiera(nn.Module):
                     j += 1
                 run = list(range(i, j))
                 t_ctx = (h, w, l_i)
-                if len(run) == 1:
-                    x = block_mod(i, sp, t_ctx=t_ctx)(x)
+                if sp_global and len(run) > 1:
+                    # Global-attention runs under sequence parallelism take
+                    # the in-layout XLA reference per block (singletons in
+                    # every production variant; a plain loop covers the
+                    # general case).
+                    for k in run:
+                        x = block_mod(k, sp, t_ctx=t_ctx, global_ref=True)(x)
+                    x = constrain_t(x)
+                elif len(run) == 1:
+                    x = block_mod(i, sp, t_ctx=t_ctx,
+                                  global_ref=sp_global)(x)
+                    if sp_global:
+                        x = constrain_t(x)
                 else:
                     tws = [block_mod(k, sp, t_ctx=t_ctx, weights_only=True,
                                      cls=MultiScaleBlock)(x) for k in run]
@@ -848,21 +914,25 @@ class Hiera(nn.Module):
                     scale = (sp["dim_out"] // heads) ** -0.5
                     approx = self.dtype == jnp.bfloat16
                     # W8A8 scan: quantize each block's weights, stack, and
-                    # scan the int8 kernel (inference only — never remat'd).
-                    use_i8 = self.int8 and fbt_i8.supported_i8(
-                        sp["dim"], heads, l_i, h * w, self.dtype,
-                        batch=x.shape[0])
+                    # scan the int8 kernel (inference only — never remat'd;
+                    # the i8 kernel has no token-sharded wrapper, so sp
+                    # keeps bf16).
+                    use_i8 = (self.int8 and not sp_active
+                              and fbt_i8.supported_i8(
+                                  sp["dim"], heads, l_i, h * w, self.dtype,
+                                  batch=x.shape[0]))
                     if use_i8:
                         tws = [fbt_i8.pack_i8(w) for w in tws]
                     stacked = jax.tree_util.tree_map(
                         lambda *a: jnp.stack(a), *tws)
                     blk = (fbt_i8.fused_block_t_i8 if use_i8
                            else fbt.fused_block_t)
+                    extra = () if use_i8 else (sp_tok,)
 
                     def body(xc, wts, heads=heads, hp=hp, l=l_i, scale=scale,
-                             blk=blk):
-                        return blk(
-                            xc, wts, heads, hp, l, scale, 1e-6, approx), None
+                             blk=blk, extra=extra):
+                        return blk(xc, wts, heads, hp, l, scale, 1e-6,
+                                   approx, *extra), None
 
                     if self.remat and not use_i8:
                         body = jax.checkpoint(

@@ -132,6 +132,33 @@ def _data_axis_size(mode) -> int:
     return int(mode[0].shape["data"]) if isinstance(mode, tuple) else 1
 
 
+def _wrap_mode(token_axis=None):
+    """shard_map wrapping plan: ``None`` (call the kernel directly) or
+    ``(mesh, batch_axes, tok)`` where ``tok`` is the mesh axis the TOKEN
+    dimension of [B, C, N] activations is sharded over (sequence/spatial
+    parallelism, SURVEY §5 long-context row) — or ``None`` for batch-only
+    wrapping.  Token sharding is halo-free by construction for the windowed
+    stages: window-major and Morton orderings both keep each L-token window
+    in one contiguous lane run, and the caller gates on
+    ``n_local % cw == 0`` (which implies whole windows per shard)."""
+    mode = spmd_mode()
+    if not isinstance(mode, tuple):
+        return None
+    mesh, axes = mode
+    tok = None
+    if (token_axis and token_axis in mesh.axis_names
+            and int(mesh.shape[token_axis]) > 1):
+        tok = token_axis
+    return mesh, axes, tok
+
+
+def token_axis_size(token_axis) -> int:
+    """Active shard count for the token axis (1 = not sharded)."""
+    info = _wrap_mode(token_axis)
+    return 1 if info is None or info[2] is None else int(
+        info[0].shape[info[2]])
+
+
 def spmd_safe() -> bool:
     """Back-compat gate for fused paths that do NOT yet carry a shard_map
     wrapper (gen-1 whole-block kernel, lane-padded attention): true when the
@@ -711,30 +738,34 @@ def qpool_front_reference(xt, weights: QPoolWeights, *, heads: int, hp: int,
     return o.transpose(0, 2, 1), sc_p.transpose(0, 2, 1)
 
 
-def _qpool_forward_spmd(xt, weights: QPoolWeights, **kw):
-    mode = spmd_mode()
-    if not isinstance(mode, tuple):
+def _qpool_forward_spmd(xt, weights: QPoolWeights, token_axis=None, **kw):
+    info = _wrap_mode(token_axis)
+    if info is None:
         return _qpool_forward(xt, weights, **kw)
-    mesh, axes = mode
+    mesh, axes, tok = info
+    xspec = P(axes, None, tok)
     fn = functools.partial(_qpool_forward, **kw)
-    return jax.shard_map(fn, mesh=mesh, in_specs=(P(axes), P()),
-                         out_specs=(P(axes), P(axes)),
+    return jax.shard_map(fn, mesh=mesh, in_specs=(xspec, P()),
+                         out_specs=(xspec, xspec),
                          check_vma=False)(xt, weights)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def qpool_front(xt, weights: QPoolWeights, heads: int, hp: int, l: int,
-                scale: float, eps: float):
+                scale: float, eps: float, token_axis: Optional[str] = None):
     """Fused transition front: [B, Cin, N] (micro-window layout, see
     to_t_micro) -> (attention out [B, H*HP, N/4], shortcut [B, Cout, N/4]),
-    both in the pooled-grid ws/2 window-major ordering."""
-    return _qpool_forward_spmd(xt, weights, heads=heads, hp=hp, l=l,
-                               scale=scale, eps=eps)
+    both in the pooled-grid ws/2 window-major ordering.  ``token_axis``
+    (static) shards N over that mesh axis: the ::4 compaction is
+    shard-local (n_local % cw == 0 gating implies whole 4-groups), so the
+    pooled outputs stay token-sharded with no halo."""
+    return _qpool_forward_spmd(xt, weights, token_axis, heads=heads, hp=hp,
+                               l=l, scale=scale, eps=eps)
 
 
-def _qpool_fwd(xt, weights, heads, hp, l, scale, eps):
-    out = _qpool_forward_spmd(xt, weights, heads=heads, hp=hp, l=l,
-                              scale=scale, eps=eps)
+def _qpool_fwd(xt, weights, heads, hp, l, scale, eps, token_axis=None):
+    out = _qpool_forward_spmd(xt, weights, token_axis, heads=heads, hp=hp,
+                              l=l, scale=scale, eps=eps)
     return out, (xt, weights)
 
 
@@ -925,30 +956,34 @@ def _qpool_backward(xt, weights: QPoolWeights, go, gsc, *, heads: int,
     return outs[0], QPoolWeights(*outs[1:])
 
 
-def _qpool_backward_spmd(xt, weights: QPoolWeights, go, gsc, **kw):
-    mode = spmd_mode()
-    if not isinstance(mode, tuple):
+def _qpool_backward_spmd(xt, weights: QPoolWeights, go, gsc, token_axis=None,
+                         **kw):
+    info = _wrap_mode(token_axis)
+    if info is None:
         return _qpool_backward(xt, weights, go, gsc, **kw)
-    mesh, axes = mode
+    mesh, axes, tok = info
+    xspec = P(axes, None, tok)
+    red = axes + ((tok,) if tok else ())
 
     def fn(xt, weights, go, gsc):
         dx, dw = _qpool_backward(xt, weights, go, gsc, **kw)
-        dw = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axes), dw)
+        dw = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, red), dw)
         return dx, dw
 
     return jax.shard_map(fn, mesh=mesh,
-                         in_specs=(P(axes), P(), P(axes), P(axes)),
-                         out_specs=(P(axes), P()),
+                         in_specs=(xspec, P(), xspec, xspec),
+                         out_specs=(xspec, P()),
                          check_vma=False)(xt, weights, go, gsc)
 
 
-def _qpool_bwd(heads, hp, l, scale, eps, res, g):
+def _qpool_bwd(heads, hp, l, scale, eps, token_axis, res, g):
     xt, weights = res
     if (BACKWARD == "kernel"
             and (jax.default_backend() in ("tpu", "axon") or INTERPRET)):
         go, gsc = g
-        dx, dws = _qpool_backward_spmd(xt, weights, go, gsc, heads=heads,
-                                       hp=hp, l=l, scale=scale, eps=eps)
+        dx, dws = _qpool_backward_spmd(xt, weights, go, gsc, token_axis,
+                                       heads=heads, hp=hp, l=l, scale=scale,
+                                       eps=eps)
         dws = QPoolWeights(*[gg.astype(w.dtype)
                              for gg, w in zip(dws, weights)])
         return dx, dws
@@ -1553,83 +1588,97 @@ def _backward_res(xt, weights: TBlockWeights, dout, res: BlockResiduals, *,
 # missing #1) instead of silently falling back to the decomposed XLA path.
 # ---------------------------------------------------------------------------
 
-def _forward_spmd(xt, weights: TBlockWeights, **kw):
-    mode = spmd_mode()
-    if not isinstance(mode, tuple):
+def _forward_spmd(xt, weights: TBlockWeights, token_axis=None, **kw):
+    info = _wrap_mode(token_axis)
+    if info is None:
         return _forward(xt, weights, **kw)
-    mesh, axes = mode
+    mesh, axes, tok = info
+    xspec = P(axes, None, tok)
     fn = functools.partial(_forward, **kw)
-    return jax.shard_map(fn, mesh=mesh, in_specs=(P(axes), P()),
-                         out_specs=P(axes), check_vma=False)(xt, weights)
+    return jax.shard_map(fn, mesh=mesh, in_specs=(xspec, P()),
+                         out_specs=xspec, check_vma=False)(xt, weights)
 
 
-def _backward_spmd(xt, weights: TBlockWeights, dout, **kw):
-    mode = spmd_mode()
-    if not isinstance(mode, tuple):
+def _backward_spmd(xt, weights: TBlockWeights, dout, token_axis=None, **kw):
+    info = _wrap_mode(token_axis)
+    if info is None:
         return _backward(xt, weights, dout, **kw)
-    mesh, axes = mode
+    mesh, axes, tok = info
+    xspec = P(axes, None, tok)
+    red = axes + ((tok,) if tok else ())
 
     def fn(xt, weights, dout):
         dx, dw = _backward(xt, weights, dout, **kw)
-        dw = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axes), dw)
+        dw = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, red), dw)
         return dx, dw
 
-    return jax.shard_map(fn, mesh=mesh, in_specs=(P(axes), P(), P(axes)),
-                         out_specs=(P(axes), P()),
+    return jax.shard_map(fn, mesh=mesh, in_specs=(xspec, P(), xspec),
+                         out_specs=(xspec, P()),
                          check_vma=False)(xt, weights, dout)
 
 
-def _forward_res_spmd(xt, weights: TBlockWeights, **kw):
-    mode = spmd_mode()
-    if not isinstance(mode, tuple):
+def _forward_res_spmd(xt, weights: TBlockWeights, token_axis=None, **kw):
+    info = _wrap_mode(token_axis)
+    if info is None:
         return _forward_res(xt, weights, **kw)
-    mesh, axes = mode
+    mesh, axes, tok = info
+    xspec = P(axes, None, tok)
     fn = functools.partial(_forward_res, **kw)
-    return jax.shard_map(fn, mesh=mesh, in_specs=(P(axes), P()),
-                         out_specs=(P(axes), P(axes)),
+    return jax.shard_map(fn, mesh=mesh, in_specs=(xspec, P()),
+                         out_specs=(xspec, xspec),
                          check_vma=False)(xt, weights)
 
 
-def _backward_res_spmd(xt, weights: TBlockWeights, dout, res, **kw):
-    mode = spmd_mode()
-    if not isinstance(mode, tuple):
+def _backward_res_spmd(xt, weights: TBlockWeights, dout, res, token_axis=None,
+                       **kw):
+    info = _wrap_mode(token_axis)
+    if info is None:
         return _backward_res(xt, weights, dout, res, **kw)
-    mesh, axes = mode
+    mesh, axes, tok = info
+    xspec = P(axes, None, tok)
+    red = axes + ((tok,) if tok else ())
 
     def fn(xt, weights, dout, res):
         dx, dw = _backward_res(xt, weights, dout, res, **kw)
-        dw = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axes), dw)
+        dw = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, red), dw)
         return dx, dw
 
     return jax.shard_map(fn, mesh=mesh,
-                         in_specs=(P(axes), P(), P(axes), P(axes)),
-                         out_specs=(P(axes), P()),
+                         in_specs=(xspec, P(), xspec, xspec),
+                         out_specs=(xspec, P()),
                          check_vma=False)(xt, weights, dout, res)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def fused_block_t(xt, weights: TBlockWeights, heads: int, hp: int, l: int,
-                  scale: float, eps: float, approx_gelu: bool):
-    return _forward_spmd(xt, weights, heads=heads, hp=hp, l=l, scale=scale,
-                         eps=eps, approx_gelu=approx_gelu)
+                  scale: float, eps: float, approx_gelu: bool,
+                  token_axis: Optional[str] = None):
+    """One fused Hiera block on [B, C, N].  ``token_axis`` (static) names a
+    mesh axis the token dim N is sharded over (sequence parallelism); the
+    windowed kernel then runs shard-local inside the shard_map wrapper —
+    halo-free because whole windows live in one shard (see _wrap_mode)."""
+    return _forward_spmd(xt, weights, token_axis, heads=heads, hp=hp, l=l,
+                         scale=scale, eps=eps, approx_gelu=approx_gelu)
 
 
-def _fwd(xt, weights, heads, hp, l, scale, eps, approx_gelu):
+def _fwd(xt, weights, heads, hp, l, scale, eps, approx_gelu,
+         token_axis=None):
     kernel_path = (BACKWARD == "kernel"
                    and (jax.default_backend() in ("tpu", "axon")
                         or INTERPRET))
-    if (kernel_path and _save_res_ok(xt.shape[0], xt.shape[2])
+    n_loc = xt.shape[2] // token_axis_size(token_axis)
+    if (kernel_path and _save_res_ok(xt.shape[0], n_loc)
             and _res_bwd_vmem_ok(xt, weights, heads, hp, l)):
         out, extras = _forward_res_spmd(
-            xt, weights, heads=heads, hp=hp, l=l, scale=scale, eps=eps,
-            approx_gelu=approx_gelu)
+            xt, weights, token_axis, heads=heads, hp=hp, l=l, scale=scale,
+            eps=eps, approx_gelu=approx_gelu)
         return out, (xt, weights, extras)
-    out = _forward_spmd(xt, weights, heads=heads, hp=hp, l=l, scale=scale,
-                        eps=eps, approx_gelu=approx_gelu)
+    out = _forward_spmd(xt, weights, token_axis, heads=heads, hp=hp, l=l,
+                        scale=scale, eps=eps, approx_gelu=approx_gelu)
     return out, (xt, weights, None)
 
 
-def _bwd(heads, hp, l, scale, eps, approx_gelu, res, g):
+def _bwd(heads, hp, l, scale, eps, approx_gelu, token_axis, res, g):
     xt, weights, extras = res
     # All fused-forward geometries take the fused backward kernel: since the
     # per-head attention sweeps became fori_loops (one chunk per grid cell),
@@ -1642,9 +1691,10 @@ def _bwd(heads, hp, l, scale, eps, approx_gelu, res, g):
         kw = dict(heads=heads, hp=hp, l=l, scale=scale, eps=eps,
                   approx_gelu=approx_gelu)
         if extras is not None:
-            dx, dws = _backward_res_spmd(xt, weights, g, extras, **kw)
+            dx, dws = _backward_res_spmd(xt, weights, g, extras, token_axis,
+                                         **kw)
         else:
-            dx, dws = _backward_spmd(xt, weights, g, **kw)
+            dx, dws = _backward_spmd(xt, weights, g, token_axis, **kw)
         dws = TBlockWeights(*[gg.astype(w.dtype)
                               for gg, w in zip(dws, weights)])
         return dx, dws

@@ -58,3 +58,66 @@ def test_spatial_sharding_actually_shards(rng):
         # And the per-device shard really holds 1/8 of the rows.
         shard_shape = f.sharding.shard_shape(f.shape)
         assert shard_shape[1] * 8 == f.shape[1], (i, shard_shape, f.shape)
+
+
+def test_spatial_sharded_fused_path_matches(rng, monkeypatch):
+    """Sequence parallelism composed WITH the fused kernels (round-4 verdict
+    #5): the bf16 Morton trunk runs with its token axis sharded over 'sp'
+    through the shard_map-wrapped T-kernel and Q-pool front (shard-LOCAL
+    shapes reach the Pallas programs), global-attention blocks ride the
+    in-layout XLA reference with GSPMD collectives, and the whole encoder
+    matches the unsharded fused output."""
+    import jax.numpy as jnp
+
+    from spegnet_tpu.models.hiera import Hiera
+    from spegnet_tpu.ops import fused_block_t as fbt
+
+    monkeypatch.setattr(fbt, "INTERPRET", True)
+
+    # Record the shapes each Pallas program actually receives: under sp the
+    # kernels must see LOCAL token counts (global / sp_size).
+    fwd_shapes, qpool_shapes = [], []
+    orig_fwd, orig_qpool = fbt._forward, fbt._qpool_forward
+
+    def rec_fwd(xt, w, **kw):
+        fwd_shapes.append(tuple(xt.shape))
+        return orig_fwd(xt, w, **kw)
+
+    def rec_qpool(xt, w, **kw):
+        qpool_shapes.append(tuple(xt.shape))
+        return orig_qpool(xt, w, **kw)
+
+    monkeypatch.setattr(fbt, "_forward", rec_fwd)
+    monkeypatch.setattr(fbt, "_qpool_forward", rec_qpool)
+
+    base = Hiera(variant="tiny", dtype=jnp.bfloat16)
+    sharded = Hiera(variant="tiny", dtype=jnp.bfloat16, spatial_axis="sp")
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+    variables = base.init(jax.random.PRNGKey(0), x)
+
+    ref = [np.asarray(o, np.float32) for o in base.apply(variables, x)]
+    assert fwd_shapes and qpool_shapes, "fused paths not active unsharded"
+    n1_global = fwd_shapes[0][2]
+    fwd_shapes.clear(), qpool_shapes.clear()
+
+    mesh = create_mesh({"data": 2, "sp": 2})
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+        vs = jax.device_put(variables, NamedSharding(mesh, P()))
+        outs = jax.jit(lambda v, x: sharded.apply(v, x))(vs, xs)
+
+    assert fwd_shapes, "fused T-kernel not active under sp"
+    assert qpool_shapes, "fused qpool front not active under sp"
+    # shard_map hands the kernels LOCAL shapes: tokens / sp (and batch / dp).
+    assert fwd_shapes[0][2] == n1_global // 2, (fwd_shapes, n1_global)
+    # bf16 activations through 12 blocks: a handful of elements land a few
+    # ulp apart (different reduction orders in the GSPMD-decomposed stages;
+    # the global block runs the in-layout XLA reference), so the gate is a
+    # loose elementwise band plus a tight mean-absolute bound — a
+    # structural break (wrong halo, wrong psum) would blow BOTH by orders
+    # of magnitude.
+    for a, b in zip(outs, ref):
+        d = np.abs(np.asarray(a, np.float32) - b)
+        scale = np.abs(b).mean() + 1e-6
+        assert d.max() / scale < 0.25, (d.max(), scale)
+        assert d.mean() / scale < 2e-2, (d.mean(), scale)

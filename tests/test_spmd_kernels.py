@@ -171,3 +171,99 @@ def test_hiera_fused_under_mesh(rng):
         a = np.asarray(a, np.float32)
         scale = max(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() / scale < 0.03, np.abs(a - b).max()
+
+
+def _sp_mesh():
+    return create_mesh({"data": 2, "sp": 2}, jax.devices("cpu")[:4])
+
+
+def test_fused_block_t_token_sharded(rng):
+    """Sequence parallelism at the op level (round-4 verdict #5): the
+    T-kernel runs with the TOKEN axis sharded over 'sp' inside its
+    shard_map wrapper (halo-free: whole windows per shard) and matches the
+    unsharded kernel in forward AND backward (weight grads psummed over
+    data x sp)."""
+    c, heads, d, ws, hw = 32, 2, 16, 4, 16
+    hp = fbt.round_hp(d)
+    weights = make_weights(rng, c, heads, d, 4 * c, hp)
+    x = jnp.asarray(rng.standard_normal((4, hw, hw, c)).astype(np.float32) * 0.5)
+    xt = fbt.to_t(x, ws)
+    args = (heads, hp, ws * ws, d ** -0.5, 1e-6, False)
+
+    def loss(xt, w, tok=None):
+        return jnp.sum(fbt.fused_block_t(xt, w, *args, tok) ** 2)
+
+    want_y = np.asarray(fbt.fused_block_t(xt, weights, *args))
+    want_gx, want_gw = jax.grad(loss, argnums=(0, 1))(xt, weights)
+
+    mesh = _sp_mesh()
+    with jax.set_mesh(mesh):
+        xt_s = jax.device_put(xt, NamedSharding(mesh, P("data", None, "sp")))
+        w_s = jax.device_put(weights, NamedSharding(mesh, P()))
+        got_y = jax.jit(
+            lambda x, w: fbt.fused_block_t(x, w, *args, "sp"))(xt_s, w_s)
+        got_gx, got_gw = jax.jit(
+            jax.grad(lambda x, w: loss(x, w, "sp"), argnums=(0, 1))
+        )(xt_s, w_s)
+
+    np.testing.assert_allclose(np.asarray(got_y), want_y, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(want_gx),
+                               atol=1e-4, rtol=1e-4)
+    for name, a, b in zip(fbt.TBlockWeights._fields,
+                          jax.tree_util.tree_leaves(got_gw),
+                          jax.tree_util.tree_leaves(want_gw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def test_qpool_front_token_sharded(rng):
+    """Q-pool transition front with the token axis sharded over 'sp': the
+    ::4 Morton/micro-window pooling is shard-local, outputs stay
+    token-sharded, and fwd+bwd match the unsharded custom_vjp."""
+    cin, heads, d, ws, hw = 32, 2, 24, 4, 16
+    hp = fbt.round_hp(d)
+    cout = heads * d
+    wts = fbt.QPoolWeights(
+        ln_scale=jnp.asarray(rng.standard_normal((cin, 1)).astype(np.float32) * 0.1 + 1),
+        ln_bias=jnp.asarray(rng.standard_normal((cin, 1)).astype(np.float32) * 0.1),
+        wqkv_t=jnp.asarray(np.pad(
+            rng.standard_normal((3, heads, d, cin)).astype(np.float32) * 0.2,
+            ((0, 0), (0, 0), (0, hp - d), (0, 0))).reshape(-1, cin)),
+        bqkv_t=jnp.asarray(np.pad(
+            rng.standard_normal((3, heads, d)).astype(np.float32) * 0.1,
+            ((0, 0), (0, 0), (0, hp - d))).reshape(-1, 1)),
+        wsc_t=jnp.asarray(rng.standard_normal((cout, cin)).astype(np.float32) * 0.2),
+        bsc_t=jnp.asarray(rng.standard_normal((cout, 1)).astype(np.float32) * 0.1),
+    )
+    x = jnp.asarray(rng.standard_normal((4, hw, hw, cin)).astype(np.float32) * 0.5)
+    xt = fbt.to_t_micro(x, ws)
+    args = (heads, hp, ws * ws, d ** -0.5, 1e-6)
+
+    def loss(xt, w, tok=None):
+        o, sc = fbt.qpool_front(xt, w, *args, tok)
+        return jnp.sum(o ** 2) + jnp.sum(sc ** 2)
+
+    want_o, want_sc = fbt.qpool_front(xt, wts, *args)
+    want_gx, want_gw = jax.grad(loss, argnums=(0, 1))(xt, wts)
+
+    mesh = _sp_mesh()
+    with jax.set_mesh(mesh):
+        xt_s = jax.device_put(xt, NamedSharding(mesh, P("data", None, "sp")))
+        w_s = jax.device_put(wts, NamedSharding(mesh, P()))
+        got_o, got_sc = jax.jit(
+            lambda x, w: fbt.qpool_front(x, w, *args, "sp"))(xt_s, w_s)
+        got_gx, got_gw = jax.jit(
+            jax.grad(lambda x, w: loss(x, w, "sp"), argnums=(0, 1))
+        )(xt_s, w_s)
+
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_sc), np.asarray(want_sc),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(want_gx),
+                               atol=1e-4, rtol=1e-4)
+    for name, a, b in zip(fbt.QPoolWeights._fields,
+                          jax.tree_util.tree_leaves(got_gw),
+                          jax.tree_util.tree_leaves(want_gw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
