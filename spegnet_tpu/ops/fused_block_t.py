@@ -166,6 +166,21 @@ def spmd_safe() -> bool:
     return spmd_mode() is None
 
 
+# Attention chunk-width policies, probe knobs for tools/acw_probe.py:
+#   "512"  — pack windows into masked 512-lane chunks (gen-2 default).
+#   "l128" — one 128-lane tile (or one window, if larger): minimal masked
+#            flops at full MXU lane width.
+# Both are numerically EXACT (the block-diagonal -1e30 mask zeroes the
+# cross-window lanes bit-for-bit in f32), so the choice is pure speed.
+CW_POLICY = os.environ.get("SPEGNET_CW", "512")
+ACW_POLICY = os.environ.get("SPEGNET_ACW", "cw")
+# Backward-kernel probe knobs (tools/acw_probe.py --knobs): per-cell weight
+# -grad slots (parallel grid semantics, summed outside) and Python-unrolled
+# attention sweeps.  Round-5 in-process A/B: see _pick_acw docstring.
+BWD_SLOTS = os.environ.get("SPEGNET_BWD_SLOTS", "0") == "1"
+BWD_UNROLL = os.environ.get("SPEGNET_BWD_UNROLL", "0") == "1"
+
+
 def _pick_cw(l: int, n_tok: int) -> int:
     """Attention chunk width.  Swept on-chip (tools/vpu_experiment.py):
     packing several windows into one masked 512-lane chunk beats per-window
@@ -173,6 +188,8 @@ def _pick_cw(l: int, n_tok: int) -> int:
     more small MXU ops.  Globals (L >= 512) need the full width."""
     if l >= 512:
         return l
+    if CW_POLICY == "l128":
+        return min(max(l, 128), n_tok)
     return min(512, n_tok)
 
 
@@ -666,7 +683,7 @@ def _qpool_forward(xt, weights: QPoolWeights, *, heads: int, hp: int,
     b, cin, n = xt.shape
     cout = weights.wsc_t.shape[0]
     if cw is None:
-        cw = _pick_cw(l, n)
+        cw = _pick_cw_qpool(l, n)
     t_cell = _pick_cols(n, cw, heads, t_cap or 2048)
     grid = (b, n // t_cell)
 
@@ -910,7 +927,7 @@ def _qpool_backward(xt, weights: QPoolWeights, go, gsc, *, heads: int,
         interpret = INTERPRET
     b, cin, n = xt.shape
     cout = weights.wsc_t.shape[0]
-    cw = _pick_cw(l, n)
+    cw = _pick_cw_qpool(l, n)
     t_cell = cw  # one attention chunk per grid cell (kernel assumption)
     grid = (b, n // t_cell)
 
@@ -998,6 +1015,15 @@ def _qpool_bwd(heads, hp, l, scale, eps, token_axis, res, g):
 qpool_front.defvjp(_qpool_fwd, _qpool_bwd)
 
 
+def _pick_cw_qpool(l: int, n_tok: int) -> int:
+    """Chunk width for the Q-pool front kernels, policy-INDEPENDENT: the
+    backward's pooled-grad blocks are cw//4 lanes, and Mosaic requires the
+    last block dim be a 128 multiple (or the full array), so cw >= 512."""
+    if l >= 512:
+        return l
+    return min(512, n_tok)
+
+
 def qpool_supported(cin: int, heads: int, l: int, n_tok: int, dtype,
                     batch: Optional[int] = None) -> bool:
     """Transition-front kernel eligibility.  Deliberately NOT `supported`:
@@ -1021,7 +1047,7 @@ def qpool_supported(cin: int, heads: int, l: int, n_tok: int, dtype,
     if cin % 16 or l % 4 or l > 256:
         return False
     ok = l % 128 == 0 if l >= 128 else 128 % l == 0
-    cw = _pick_cw(l, n_tok)
+    cw = _pick_cw_qpool(l, n_tok)
     return ok and cw % max(l, 128) == 0 and n_tok % cw == 0
 
 
@@ -1309,21 +1335,29 @@ def _pick_acw(l: int, cw: int) -> int:
     Hypothesis tested on-chip (tools/bwd_probe.py, batch 8, chained timing):
     the backward runs ~3.5x the forward's attention flops, so sub-chunking
     (acw < cw) should cut the block-diagonal-mask flop waste at small L.
-    Measured: every (acw / unroll / slots) combination lands within the
-    tunnel's ±15% process-to-process noise of the default (s1 3.3-5.4 ms,
-    s2 2.0-2.5, s3w 1.6-2.1, s3g 1.9-2.0 per block raw) and rankings flip
-    between processes — the kernel is already at 100-140 TF/s EXECUTED
-    flops, i.e. masked waste is bounded by MXU sequencing, not the mask.
-    Default stays the forward's chunk width; the knobs remain for probes."""
+    Round-3 probe: every (acw / unroll / slots) combination landed within
+    the tunnel's ±15% process-to-process noise (s1 3.3-5.4 ms, s2 2.0-2.5,
+    s3w 1.6-2.1, s3g 1.9-2.0 per block raw) and rankings flipped between
+    processes.  Round-5 re-probe with IN-PROCESS interleaved A/B on the full
+    production encoder grad (tools/acw_probe.py — the only comparable
+    methodology on this tunnel, CLAUDE.md) resolves below the old noise
+    floor; ACW_POLICY="l128" shrinks the backward sweeps' masked waste
+    (e.g. s1 l=64: 8x -> 2x) at full 128-lane tile width."""
+    if ACW_POLICY == "l128":
+        return min(cw, max(l, 128))
     return cw
 
 
 def _backward(xt, weights: TBlockWeights, dout, *, heads: int, hp: int,
               l: int, scale: float, eps: float, approx_gelu: bool,
               interpret: Optional[bool] = None, acw: Optional[int] = None,
-              unroll: bool = False, slots: bool = False):
+              unroll: Optional[bool] = None, slots: Optional[bool] = None):
     if interpret is None:
         interpret = INTERPRET
+    if unroll is None:
+        unroll = BWD_UNROLL
+    if slots is None:
+        slots = BWD_SLOTS
     b, c, n = xt.shape
     hidden = weights.wfc1_t.shape[0]
     cw = _pick_cw(l, n)

@@ -115,20 +115,23 @@ def _up2c3_resize_ref(x: jax.Array, kernel: jax.Array) -> jax.Array:
 
 
 # Which equivalent formulation the BACKWARD differentiates ("poly" |
-# "resize" | "primal" | "hand").  The gradients of any equivalent
+# "resize" | "primal" | "hand" | "hand2").  The gradients of any equivalent
 # formulation are the SAME function, so the VJP may pick the fastest
 # lowering.  Measured pull(dy) per decoder geometry (custom_vjp pull,
 # batch 8, bf16, /tmp/handchk): resize 3.92 / 11.45 / 11.28 ms.  The
-# hand-formed lowering below (dx as one conv-transpose on the s2d grid, dk
-# as 9 tap-einsums with the B*S*S contraction) was built and measured as a
-# NEGATIVE: 3.73 / 21.08 / 11.28 — the s2d relayout of dy is a lane-retiling
-# reshape (CLAUDE.md pathology) and the tap einsums' M=Cin tiles underfill
-# the MXU.  (An earlier probe said hand wins; it folded jnp.sum(dx) into the
-# timing chain, which XLA factored through the plain einsums/convs —
-# sum-of-matmul collapses to rank-1 reductions — while the resize form's
-# ConvBackprop ops resisted the rewrite.  Fold SQUARED sums when probing
-# linear ops.)  "hand" stays selectable and parity-tested.
-_BWD_FORM = "resize"
+# round-3 hand-formed lowering (dx as one conv-transpose on the s2d grid,
+# dk as 9 tap-einsums with the B*S*S contraction) measured 3.73 / 21.08 /
+# 11.28 — its two overheads were the s2d relayout of dy (an XLA
+# lane-retiling reshape, CLAUDE.md pathology) and the edge-pad-adjoint ring
+# fold (8 dynamic-update-slice adds = full-tensor copies).  "hand2" below
+# replaces the s2d with four H/W-STRIDED slices + channel-block concat (no
+# lane retile: W stride-2 is a sublane gather) and the ring fold with ONE
+# fused iota-select pass; tools/upc_bwd_probe.py A/Bs the forms in-process
+# per geometry.  (When probing linear ops fold SQUARED sums into the chain
+# — XLA factors plain sums through matmuls.)
+import os as _os
+
+_BWD_FORM = _os.environ.get("SPEGNET_UPC_BWD", "resize")
 
 
 def _s2d_nhwc(y: jax.Array) -> jax.Array:
@@ -144,7 +147,42 @@ def _strips_only(x, kernel):
     return _border_strips(x, kernel.astype(jnp.float32))
 
 
-def _up2c3_bwd_hand(x, kernel, dy):
+def _s2d_strided(y: jax.Array) -> jax.Array:
+    """== _s2d_nhwc, lowered as four H/W-strided slices + channel-block
+    concat: H stride-2 is free (major dim), W stride-2 is a sublane gather —
+    neither is the lane-retiling reshape the reshape/transpose form lowers
+    to (CLAUDE.md pathology)."""
+    return jnp.concatenate(
+        [y[:, py::2, px::2, :] for py in (0, 1) for px in (0, 1)], axis=-1)
+
+
+def _ring_fold(dxp: jax.Array) -> jax.Array:
+    """Adjoint of `jnp.pad(x, 1, mode="edge")` applied to the VALID-conv
+    output dxp [B, H+2, W+2, C]: the outer ring folds into the adjacent
+    inner cells.  ONE fused elementwise select pass instead of 8
+    dynamic-update-slice adds (each a full-tensor copy in XLA)."""
+    h = dxp.shape[1] - 2
+    w = dxp.shape[2] - 2
+    core = dxp[:, 1:-1, 1:-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    zero = jnp.zeros((), dxp.dtype)
+    top, bot = dxp[:, 0:1, 1:-1], dxp[:, -1:, 1:-1]
+    left, right = dxp[:, 1:-1, 0:1], dxp[:, 1:-1, -1:]
+    out = (core
+           + jnp.where(row == 0, top, zero)
+           + jnp.where(row == h - 1, bot, zero)
+           + jnp.where(col == 0, left, zero)
+           + jnp.where(col == w - 1, right, zero))
+    corners = (jnp.where((row == 0) & (col == 0), dxp[:, 0:1, 0:1], zero)
+               + jnp.where((row == 0) & (col == w - 1), dxp[:, 0:1, -1:], zero)
+               + jnp.where((row == h - 1) & (col == 0), dxp[:, -1:, 0:1], zero)
+               + jnp.where((row == h - 1) & (col == w - 1),
+                           dxp[:, -1:, -1:], zero))
+    return out + corners
+
+
+def _up2c3_bwd_hand(x, kernel, dy, v2: bool = False):
     """Hand-formed exact VJP of conv3x3(up2(x), k).
 
     The primal is paste(d2s(poly_core(x, k)), strips(x, k)) where paste
@@ -169,7 +207,7 @@ def _up2c3_bwd_hand(x, kernel, dy):
     d_left = dy[:, :, 0:1]
     d_right = dy[:, :, -1:]
 
-    dys = _s2d_nhwc(dy_int)  # [B, S, S, 4Co]
+    dys = (_s2d_strided if v2 else _s2d_nhwc)(dy_int)  # [B, S, S, 4Co]
     ke = _compose_kernel(kernel.astype(jnp.float32))
     kp = jnp.stack([jnp.stack([
         ke[1 - py::2, 1 - px::2] for px in (0, 1)], 0)
@@ -181,15 +219,18 @@ def _up2c3_bwd_hand(x, kernel, dy):
     # inward.
     kpt = jnp.flip(kp, (0, 1)).transpose(0, 1, 3, 2).astype(dt)
     dxp = _conv(dys, kpt, [(2, 2), (2, 2)]).astype(dt)
-    dx = dxp[:, 1:-1, 1:-1]
-    dx = dx.at[:, 0].add(dxp[:, 0, 1:-1])
-    dx = dx.at[:, -1].add(dxp[:, -1, 1:-1])
-    dx = dx.at[:, :, 0].add(dxp[:, 1:-1, 0])
-    dx = dx.at[:, :, -1].add(dxp[:, 1:-1, -1])
-    dx = dx.at[:, 0, 0].add(dxp[:, 0, 0])
-    dx = dx.at[:, 0, -1].add(dxp[:, 0, -1])
-    dx = dx.at[:, -1, 0].add(dxp[:, -1, 0])
-    dx = dx.at[:, -1, -1].add(dxp[:, -1, -1])
+    if v2:
+        dx = _ring_fold(dxp)
+    else:
+        dx = dxp[:, 1:-1, 1:-1]
+        dx = dx.at[:, 0].add(dxp[:, 0, 1:-1])
+        dx = dx.at[:, -1].add(dxp[:, -1, 1:-1])
+        dx = dx.at[:, :, 0].add(dxp[:, 1:-1, 0])
+        dx = dx.at[:, :, -1].add(dxp[:, 1:-1, -1])
+        dx = dx.at[:, 0, 0].add(dxp[:, 0, 0])
+        dx = dx.at[:, 0, -1].add(dxp[:, 0, -1])
+        dx = dx.at[:, -1, 0].add(dxp[:, -1, 0])
+        dx = dx.at[:, -1, -1].add(dxp[:, -1, -1])
 
     # dk (main): 9 per-tap einsums over (edge-padded x shifts, dys) with the
     # B*S*S contraction on the MXU, then the compose-kernel adjoint.
@@ -231,8 +272,8 @@ def _up2c3_fwd(x, kernel):
 def _up2c3_bwd(res, dy):
     x, kernel = res
     form = _BWD_FORM
-    if form == "hand":
-        return _up2c3_bwd_hand(x, kernel, dy)
+    if form in ("hand", "hand2"):
+        return _up2c3_bwd_hand(x, kernel, dy, v2=form == "hand2")
     ref = {"poly": _up2c3_poly_ref, "resize": _up2c3_resize_ref,
            "primal": _up2c3_primal}[form]
     _, pull = jax.vjp(ref, x, kernel)

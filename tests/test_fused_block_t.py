@@ -435,3 +435,38 @@ def test_residual_saving_vjp_path(rng, monkeypatch):
                           jax.tree_util.tree_leaves(gw_rec)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("cw_pol,acw_pol", [
+    ("512", "l128"), ("l128", "l128"), ("l128", "cw"),
+])
+def test_chunk_width_policies_exact(rng, monkeypatch, cw_pol, acw_pol):
+    """CW/ACW policies are pure-speed knobs: the block-diagonal -1e30 mask
+    zeroes cross-window lanes exactly in f32, so forward AND backward must
+    match the default-policy kernel bit-for-bit-ish at every chunking."""
+    hw, ws, c, heads, d = 16, 4, 32, 2, 16
+    hp = fbt.round_hp(d)
+    weights = make_weights(rng, c, heads, d, 4 * c, hp)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, c)).astype(np.float32) * 0.5)
+    xt = fbt.to_t(x, ws)
+    args = (heads, hp, ws * ws, d ** -0.5, 1e-6, False)
+
+    def loss(xt, w):
+        return jnp.sum(fbt.fused_block_t(xt, w, *args) ** 2)
+
+    want_y = np.asarray(fbt.fused_block_t(xt, weights, *args))
+    want_gx, want_gw = jax.grad(loss, argnums=(0, 1))(xt, weights)
+
+    monkeypatch.setattr(fbt, "CW_POLICY", cw_pol)
+    monkeypatch.setattr(fbt, "ACW_POLICY", acw_pol)
+    got_y = np.asarray(fbt.fused_block_t(xt, weights, *args))
+    got_gx, got_gw = jax.grad(loss, argnums=(0, 1))(xt, weights)
+
+    np.testing.assert_allclose(got_y, want_y, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(want_gx),
+                               atol=1e-5, rtol=1e-5)
+    for name, a, b in zip(fbt.TBlockWeights._fields,
+                          jax.tree_util.tree_leaves(got_gw),
+                          jax.tree_util.tree_leaves(want_gw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
