@@ -179,6 +179,13 @@ ACW_POLICY = os.environ.get("SPEGNET_ACW", "cw")
 # attention sweeps.  Round-5 in-process A/B: see _pick_acw docstring.
 BWD_SLOTS = os.environ.get("SPEGNET_BWD_SLOTS", "0") == "1"
 BWD_UNROLL = os.environ.get("SPEGNET_BWD_UNROLL", "0") == "1"
+# Q-pool FORWARD chunk width ("512" | "l128").  The qpool backward is
+# pinned at cw >= 512 (its pooled-grad blocks are cw//4 lanes and Mosaic
+# wants 128 multiples), but the forward's grid cell is _pick_cols-sized,
+# so narrow chunks are legal whenever t_cell//4 stays a 128 multiple.
+# At t12 (l=16, cw=512) ~99% of the compacted-q attention flops are
+# mask-dead; l128 cuts the executed sweep 4x.
+QPOOL_CW = os.environ.get("SPEGNET_QPOOL_CW", "512")
 
 
 def _pick_cw(l: int, n_tok: int) -> int:
@@ -684,6 +691,11 @@ def _qpool_forward(xt, weights: QPoolWeights, *, heads: int, hp: int,
     cout = weights.wsc_t.shape[0]
     if cw is None:
         cw = _pick_cw_qpool(l, n)
+        if QPOOL_CW == "l128" and l < 512:
+            cand = min(max(l, 128), n)
+            t_cand = _pick_cols(n, cand, heads, t_cap or 2048)
+            if t_cand % 4 == 0 and (t_cand // 4) % 128 == 0:
+                cw = cand
     t_cell = _pick_cols(n, cw, heads, t_cap or 2048)
     grid = (b, n // t_cell)
 

@@ -53,22 +53,29 @@ def main():
     ev = jax.jit(enc.init)(rng, x[:1])  # jitted: eager init is ~1 RTT/op through the tunnel
     params = ev["params"]
 
+    # (CW, ACW, slots, unroll, QPOOL_CW)
     if args.knobs:
         CONFIGS = {
-            "A_default": ("512", "cw", False, False),
-            "D_slots": ("512", "cw", True, False),
-            "E_unroll": ("512", "cw", False, True),
+            "A_default": ("512", "cw", False, False, "512"),
+            "D_slots": ("512", "cw", True, False, "512"),
+            "E_unroll": ("512", "cw", False, True, "512"),
+        }
+    elif args.fwd_only:
+        CONFIGS = {
+            "A_default": ("512", "cw", False, False, "512"),
+            "C_cw=l128": ("l128", "l128", False, False, "l128"),
+            "Q_qpool128": ("512", "cw", False, False, "l128"),
         }
     else:
         CONFIGS = {
-            "A_cw512_acw=cw": ("512", "cw", False, False),
-            "B_cw512_acw=l128": ("512", "l128", False, False),
-            "C_cw=l128": ("l128", "l128", False, False),
+            "A_cw512_acw=cw": ("512", "cw", False, False, "512"),
+            "B_cw512_acw=l128": ("512", "l128", False, False, "512"),
+            "C_cw=l128": ("l128", "l128", False, False, "512"),
         }
 
     def set_policy(name):
         (fbt.CW_POLICY, fbt.ACW_POLICY,
-         fbt.BWD_SLOTS, fbt.BWD_UNROLL) = CONFIGS[name]
+         fbt.BWD_SLOTS, fbt.BWD_UNROLL, fbt.QPOOL_CW) = CONFIGS[name]
 
     def make_grad(name):
         # NO fori_loop around the grad: the remote compile helper dies
