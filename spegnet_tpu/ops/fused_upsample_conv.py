@@ -131,6 +131,12 @@ def _up2c3_resize_ref(x: jax.Array, kernel: jax.Array) -> jax.Array:
 # — XLA factors plain sums through matmuls.)
 import os as _os
 
+# Default stays "resize": "auto" (hand at the S=128/Cin>=256 geometry,
+# ~0.9 ms/batch-8 faster in isolation) made THIS environment's remote
+# compile helper die mid-train-step compile ("response body closed") — the
+# hand form's extra distinct ops push the program over the helper's
+# payload fragility (CLAUDE.md) for a <0.5% step win.  Re-evaluate on a
+# normally-hosted TPU where XLA compiles locally.
 _BWD_FORM = _os.environ.get("SPEGNET_UPC_BWD", "resize")
 
 
@@ -272,6 +278,13 @@ def _up2c3_fwd(x, kernel):
 def _up2c3_bwd(res, dy):
     x, kernel = res
     form = _BWD_FORM
+    if form == "auto":
+        # Per-geometry pick from tools/upc_bwd_probe.py (in-process A/B,
+        # batch 8): "hand" wins only the S=128, Cin>=256 decoder-1 x-branch
+        # (7.12 vs 8.04 ms); "resize" wins everywhere else (up0 0.62 vs
+        # 2.71, up2 13.61 vs 16.38).
+        s_sq = x.shape[1] == x.shape[2] == 128
+        form = "hand" if (s_sq and x.shape[-1] >= 256) else "resize"
     if form in ("hand", "hand2"):
         return _up2c3_bwd_hand(x, kernel, dy, v2=form == "hand2")
     ref = {"poly": _up2c3_poly_ref, "resize": _up2c3_resize_ref,

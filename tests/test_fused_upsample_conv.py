@@ -48,7 +48,7 @@ def test_gradients_match(rng):
                                    atol=5e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("form", ["poly", "resize", "primal", "hand", "hand2"])
+@pytest.mark.parametrize("form", ["poly", "resize", "primal", "hand", "hand2", "auto"])
 @pytest.mark.parametrize("h,w,cin,cout", [
     (8, 8, 16, 8),
     (7, 11, 5, 9),     # odd sizes stress the border strips
